@@ -1,0 +1,208 @@
+"""Configuration system: nested frozen dataclasses.
+
+Reference-class systems configure per-stage binaries with command-line
+flags / ini files (SURVEY.md §2.8, §5.6). Here configs are hashable frozen
+dataclasses so they can (a) key the stage-artifact cache and (b) be passed
+as jit static arguments, specializing compiled code per config, never per
+data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class SiftConfig:
+    """SIFT-style feature extraction (SURVEY.md §2.2)."""
+
+    num_octaves: int = 4
+    scales_per_octave: int = 3          # s; each octave has s+3 gaussian levels
+    sigma0: float = 1.6                 # base blur of octave level 0
+    assumed_blur: float = 0.5           # blur of the raw input image
+    upsample_first_octave: bool = False # 2x upsampled octave -1
+    contrast_threshold: float = 0.04    # DoG peak threshold (Lowe), scaled by s
+    edge_threshold: float = 10.0        # Hessian eigenvalue ratio r
+    max_keypoints: int = 4096           # static keypoint budget per image
+    max_candidates: int = 16384         # static extremum-candidate budget
+    refine_iters: int = 3               # subpixel quadratic-fit iterations
+    num_orientation_bins: int = 36
+    orientation_peak_ratio: float = 0.8
+    descriptor_patch_radius: int = 8    # half-width of sampling lattice (4x4 cells)
+    root_sift: bool = False
+    image_max_dim: int = 1024           # resize cap on the long side
+    use_pallas: bool = True             # fused Pallas DoG/extrema kernel on TPU
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Pairwise descriptor matching (SURVEY.md §2.3)."""
+
+    ratio_threshold: float = 0.8        # Lowe ratio test on L2 distances
+    mutual_check: bool = True           # cross-check both directions
+    max_matches: int = 2048             # static per-pair correspondence budget
+    min_matches: int = 16               # pairs below this are dropped
+    block_pairs: int = 32               # pairs per device batch
+    use_bf16_matmul: bool = True        # descriptors in bf16 on the MXU
+    use_pallas: bool = True             # fused tiled matmul+top2 kernel
+
+
+@dataclass(frozen=True)
+class VocabConfig:
+    """Vocabulary-tree pair pruning (SURVEY.md §2.3)."""
+
+    branching: int = 8
+    depth: int = 4
+    num_neighbors: int = 20             # candidate pairs retained per image
+    kmeans_iters: int = 8
+    training_desc_per_image: int = 256
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Batched fixed-size RANSAC (SURVEY.md §2.4, §7 hard part 4)."""
+
+    num_hypotheses: int = 1024          # static hypothesis batch (replaces adaptive loop)
+    error_threshold_px: float = 4.0     # Sampson / reprojection error gate
+    min_inliers: int = 15               # edges below this are rejected
+    confidence: float = 0.9999          # documents the sizing of num_hypotheses
+    refine_iters: int = 5               # Gauss-Newton polish on inliers
+    degenerate_h_ratio: float = 0.9     # H-inliers/E-inliers above this => planar-degenerate
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Schur-complement Levenberg-Marquardt bundle adjustment (SURVEY.md §2.6)."""
+
+    max_iterations: int = 50
+    initial_lambda: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 2.0
+    min_lambda: float = 1e-10
+    max_lambda: float = 1e8
+    function_tolerance: float = 1e-8    # relative cost decrease convergence test
+    cg_iterations: int = 64             # PCG steps on the reduced camera system
+    cg_tolerance: float = 1e-6
+    dense_schur_max_cameras: int = 384  # below this, dense Cholesky on S
+    refine_focal: bool = False
+    refine_distortion: bool = False
+    robust_loss: str = "huber"          # "none" | "huber" | "cauchy"
+    robust_scale_px: float = 4.0
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Incremental reconstruction engine (SURVEY.md §2.5)."""
+
+    init_min_inliers: int = 60
+    init_max_h_ratio: float = 0.85      # initial pair must not be homography-degenerate
+    abs_pose_min_inliers: int = 12
+    abs_pose_error_px: float = 8.0
+    min_triangulation_angle_deg: float = 1.5
+    max_reprojection_error_px: float = 6.0
+    local_ba_window: int = 8            # most recent cameras optimized in local BA
+    global_ba_every: int = 10           # run global BA every k registrations
+    max_images: int = 4096              # static capacity of the scene state
+    max_points: int = 262144
+    max_observations: int = 1048576
+    filter_every: int = 1
+    retriangulate_every: int = 10
+    checkpoint_every: int = 25          # SceneState snapshots (SURVEY.md §5.3)
+
+
+@dataclass(frozen=True)
+class ShardConfig:
+    """Multi-chip execution (SURVEY.md §2.7, §5.7-5.8)."""
+
+    num_devices: int = 1                # 1 => single-chip, no collectives
+    mesh_axis: str = "shard"
+    ring_matching: bool = True          # ppermute descriptor-shard ring for all-pairs
+    shard_ba: bool = True               # camera-block-sharded BA with psum reductions
+
+
+@dataclass(frozen=True)
+class PartitionConfig:
+    """Divide-and-conquer at pod scale (SURVEY.md §2.7)."""
+
+    enabled: bool = False
+    target_cluster_size: int = 250
+    overlap_cameras: int = 10           # boundary cameras duplicated between clusters
+    merge_global_ba: bool = True
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline configuration."""
+
+    sift: SiftConfig = field(default_factory=SiftConfig)
+    match: MatchConfig = field(default_factory=MatchConfig)
+    vocab: VocabConfig = field(default_factory=VocabConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    shard: ShardConfig = field(default_factory=ShardConfig)
+    partition: PartitionConfig = field(default_factory=PartitionConfig)
+    pair_mode: str = "exhaustive"       # "exhaustive" | "vocab_tree"
+    seed: int = 0
+    artifact_dir: str | None = None     # stage artifacts + resume (SURVEY.md §5.4)
+    verbose: bool = True
+
+
+def config_to_dict(cfg: Any) -> Any:
+    """Recursively convert a (possibly nested) config dataclass to plain dicts."""
+    if dataclasses.is_dataclass(cfg) and not isinstance(cfg, type):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    return cfg
+
+
+def config_from_dict(cls: type, data: dict) -> Any:
+    """Build a config dataclass from nested dicts (inverse of config_to_dict)."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = config_from_dict(f.type, v)
+        elif isinstance(v, dict):
+            sub = _FIELD_TYPES.get((cls, f.name))
+            kwargs[f.name] = config_from_dict(sub, v) if sub else v
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_FIELD_TYPES = {
+    (PipelineConfig, "sift"): SiftConfig,
+    (PipelineConfig, "match"): MatchConfig,
+    (PipelineConfig, "vocab"): VocabConfig,
+    (PipelineConfig, "ransac"): RansacConfig,
+    (PipelineConfig, "ba"): BAConfig,
+    (PipelineConfig, "engine"): EngineConfig,
+    (PipelineConfig, "shard"): ShardConfig,
+    (PipelineConfig, "partition"): PartitionConfig,
+}
+
+
+def config_hash(cfg: Any) -> str:
+    """Stable hash of a config — keys the stage-artifact cache (SURVEY.md §5.4)."""
+    blob = json.dumps(config_to_dict(cfg), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def apply_overrides(cfg: PipelineConfig, overrides: dict[str, Any]) -> PipelineConfig:
+    """Apply dotted-path overrides, e.g. {"sift.max_keypoints": 8192}."""
+    data = config_to_dict(cfg)
+    for key, value in overrides.items():
+        node = data
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        if parts[-1] not in node:
+            raise KeyError(f"unknown config key: {key}")
+        node[parts[-1]] = value
+    return config_from_dict(PipelineConfig, data)

@@ -1,0 +1,22 @@
+"""Test environment: CPU backend with 8 virtual devices.
+
+SURVEY.md §4.6 — distributed tests run single-process against a forced
+8-device CPU topology (`xla_force_host_platform_device_count`), the standard
+JAX stand-in for a multi-chip mesh. CPU is also deterministic and fast for
+the small fixtures. The benchmark harness (bench.py), not the test suite,
+exercises the real TPU chip.
+
+Note: this machine's sitecustomize pins JAX_PLATFORMS=axon via env, so the
+platform must be forced through jax.config, not the environment.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)  # framework is fp32-first, like the TPU path
