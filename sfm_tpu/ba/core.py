@@ -1,0 +1,260 @@
+"""Schur-complement Levenberg-Marquardt core (SURVEY.md §2.6, §3.5).
+
+Design (all shapes static, everything inside one jit):
+
+  residual r_o(c, p) = project(point_p, cam_c) - uv_o          (vmapped)
+  J_o = [Jc_o (2x6) | Jp_o (2x3)]                              (vmapped jacfwd)
+  robustified by IRLS sqrt-weights (Huber/Cauchy, losses.py)
+
+  Normal equations in segment-sum form:
+    Hcc = segsum_c Jc^T Jc   [C, 6, 6]
+    Hpp = segsum_p Jp^T Jp   [P, 3, 3]
+    W_o = Jc_o^T Jp_o        [O, 6, 3]   (block-sparse coupling, PER OBS —
+                                          never materialized as a matrix)
+    bc  = -segsum_c Jc^T r;  bp = -segsum_p Jp^T r
+
+  Reduced camera system S dc = rhs, S = Hcc - W Hpp^-1 W^T, applied
+  IMPLICITLY per CG step:
+    u_o = W_o^T v[cam_o]; g_p = segsum_p u_o; h_p = Hpp_p^-1 g_p
+    (S v)_c = Hcc_c v_c - segsum_c W_o h[point_o]
+  preconditioned by the Schur-Jacobi block diagonal
+    M_c = Hcc_c - segsum_c W_o Hpp_{p(o)}^-1 W_o^T  (6x6 blocks, exact)
+
+  Back-substitution: dp = Hpp^-1 (bp - segsum_p W_o^T dc[cam_o])
+
+  LM outer loop: lax.while_loop, multiplicative damping on the block
+  diagonals, accept/reject on true cost decrease.
+
+The cross-chip variant (SURVEY.md §2.7) shards observations by camera and
+psum's the CG dot products and per-point segments — see sfm_tpu/dist/.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import BAConfig
+from sfm_tpu.geometry.losses import robust_weight, robust_cost
+from sfm_tpu.geometry.projection import project
+from sfm_tpu.ba.problem import BAProblem, CAM_DIM, PT_DIM
+
+
+def _residual_one(cam: jnp.ndarray, point: jnp.ndarray, intr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    return project(point, cam[:3], cam[3:6], intr) - uv
+
+
+def residuals_and_jacobians(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig):
+    """Per-observation robustified residuals and Jacobian blocks.
+
+    Returns (r [O,2], Jc [O,2,6], Jp [O,2,3], sqrt_w [O]).
+    """
+    cams_o = cam_params[prob.obs_cam]
+    pts_o = points[prob.obs_point]
+    intr_o = prob.intrinsics[prob.obs_cam]
+
+    def res_params(cam, pt, intr, uv):
+        return _residual_one(cam, pt, intr, uv)
+
+    r = jax.vmap(res_params)(cams_o, pts_o, intr_o, prob.obs_uv)
+    Jc = jax.vmap(jax.jacfwd(res_params, argnums=0))(cams_o, pts_o, intr_o, prob.obs_uv)
+    Jp = jax.vmap(jax.jacfwd(res_params, argnums=1))(cams_o, pts_o, intr_o, prob.obs_uv)
+
+    s = jnp.sum(r * r, axis=-1)
+    w = robust_weight(s, cfg.robust_loss, cfg.robust_scale_px) * prob.obs_w
+    sqrt_w = jnp.sqrt(jnp.maximum(w, 0.0))
+    return r * sqrt_w[:, None], Jc * sqrt_w[:, None, None], Jp * sqrt_w[:, None, None], sqrt_w
+
+
+def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig) -> jnp.ndarray:
+    """Robustified mean cost over valid observations."""
+    cams_o = cam_params[prob.obs_cam]
+    pts_o = points[prob.obs_point]
+    intr_o = prob.intrinsics[prob.obs_cam]
+    r = jax.vmap(_residual_one)(cams_o, pts_o, intr_o, prob.obs_uv)
+    s = jnp.sum(r * r, axis=-1)
+    c = robust_cost(s, cfg.robust_loss, cfg.robust_scale_px) * prob.obs_w
+    return jnp.sum(c) / jnp.maximum(jnp.sum(prob.obs_w), 1.0)
+
+
+def ba_cost(prob: BAProblem, cfg: BAConfig) -> jnp.ndarray:
+    return compute_cost(prob, prob.cam_params, prob.points, cfg)
+
+
+class _NormalEq(NamedTuple):
+    Hcc: jnp.ndarray      # [C, 6, 6] damped
+    Hpp_inv: jnp.ndarray  # [P, 3, 3] damped, inverted
+    W: jnp.ndarray        # [O, 6, 3]
+    bc: jnp.ndarray       # [C, 6]
+    bp: jnp.ndarray       # [P, 3]
+    M_inv: jnp.ndarray    # [C, 6, 6] Schur-Jacobi preconditioner, inverted
+
+
+def _sym_solve3(A: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Closed-form inverse of batched SPD 3x3 blocks (adjugate / det)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    inv = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], -1),
+            jnp.stack([co01, co11, co12], -1),
+            jnp.stack([co02, co12, co22], -1),
+        ],
+        -2,
+    )
+    return inv * inv_det[..., None, None]
+
+
+def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig) -> _NormalEq:
+    r, Jc, Jp, _ = residuals_and_jacobians(prob, cam_params, points, cfg)
+    C = prob.num_cameras
+    P = prob.num_points
+
+    # Zero out Jacobians of frozen parameters: their normal-equation rows
+    # vanish, so updates are exactly zero (local-BA windowing / padding).
+    Jc = jnp.where(prob.cam_fixed[prob.obs_cam][:, None, None], 0.0, Jc)
+    Jp = jnp.where(prob.point_fixed[prob.obs_point][:, None, None], 0.0, Jp)
+
+    JcTJc = jnp.einsum("oai,oaj->oij", Jc, Jc)            # [O, 6, 6]
+    JpTJp = jnp.einsum("oai,oaj->oij", Jp, Jp)            # [O, 3, 3]
+    W = jnp.einsum("oai,oaj->oij", Jc, Jp)                # [O, 6, 3]
+    Hcc = jax.ops.segment_sum(JcTJc, prob.obs_cam, C)     # [C, 6, 6]
+    Hpp = jax.ops.segment_sum(JpTJp, prob.obs_point, P)   # [P, 3, 3]
+    bc = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C)
+    bp = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P)
+
+    # Multiplicative LM damping on block diagonals (Ceres-style), with an
+    # absolute floor so padded/unconstrained blocks stay invertible.
+    eyec = jnp.eye(CAM_DIM)
+    eyep = jnp.eye(PT_DIM)
+    dc = jnp.einsum("cii->ci", Hcc)
+    dp = jnp.einsum("pii->pi", Hpp)
+    Hcc_d = Hcc + (lam * dc[:, :, None] + 1e-6) * eyec[None]
+    Hpp_d = Hpp + (lam * dp[:, :, None] + 1e-6) * eyep[None]
+    Hpp_inv = _sym_solve3(Hpp_d)
+
+    # Schur-Jacobi preconditioner: exact block diagonal of S.
+    WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
+    M = Hcc_d - jax.ops.segment_sum(WHW, prob.obs_cam, C)
+    M = M + 1e-6 * eyec[None]
+    M_inv = jnp.linalg.inv(M)
+
+    return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv)
+
+
+def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray) -> jnp.ndarray:
+    """Implicit S @ v for v [C, 6] without materializing S."""
+    u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
+    g = jax.ops.segment_sum(u, prob.obs_point, prob.num_points)        # [P, 3]
+    h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
+    y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
+    Wv = jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras)        # [C, 6]
+    return jnp.einsum("cij,cj->ci", ne.Hcc, v) - Wv
+
+
+def _schur_rhs(ne: _NormalEq, prob: BAProblem) -> jnp.ndarray:
+    """rhs = bc - W Hpp^-1 bp."""
+    h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, ne.bp)
+    y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])
+    return ne.bc - jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras)
+
+
+def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig) -> jnp.ndarray:
+    """Preconditioned CG on the reduced camera system. Fixed iteration cap,
+    early termination by freezing updates once converged (static shapes)."""
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", ne.M_inv, r)
+
+    x = jnp.zeros_like(rhs)
+    r = rhs
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-20
+
+    def body(_, state):
+        x, r, p, rz = state
+        Ap = _schur_matvec(ne, prob, p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        done = jnp.sqrt(jnp.sum(r * r)) / rhs_norm < cfg.cg_tolerance
+        alpha = jnp.where(done, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = jnp.where(done, p, z + beta * p)
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, cfg.cg_iterations, body, (x, r, p, rz))
+    return x
+
+
+def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray) -> jnp.ndarray:
+    """dp = Hpp^-1 (bp - W^T dc)."""
+    u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
+    g = ne.bp - jax.ops.segment_sum(u, prob.obs_point, prob.num_points)
+    return jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)
+
+
+class BAStats(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    lam: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bundle_adjust(prob: BAProblem, cfg: BAConfig) -> tuple[BAProblem, BAStats]:
+    """Run LM to convergence (or cfg.max_iterations). Returns updated problem."""
+
+    cost0 = compute_cost(prob, prob.cam_params, prob.points, cfg)
+
+    def cond(state):
+        _, _, lam, it, done, _ = state
+        return (it < cfg.max_iterations) & jnp.logical_not(done)
+
+    def body(state):
+        cam_params, points, lam, it, _, cost = state
+        ne = build_normal_equations(prob, cam_params, points, lam, cfg)
+        rhs = _schur_rhs(ne, prob)
+        dc = _pcg(ne, prob, rhs, cfg)
+        dp = _back_substitute(ne, prob, dc)
+        dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
+        dp = jnp.where(prob.point_fixed[:, None], 0.0, dp)
+
+        new_cams = cam_params + dc
+        new_points = points + dp
+        new_cost = compute_cost(prob, new_cams, new_points, cfg)
+
+        accept = new_cost < cost
+        cam_params = jnp.where(accept, new_cams, cam_params)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam / cfg.lambda_down, cfg.min_lambda),
+            jnp.minimum(lam * cfg.lambda_up, cfg.max_lambda),
+        )
+        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done = accept & (rel_decrease < cfg.function_tolerance)
+        cost = jnp.where(accept, new_cost, cost)
+        return cam_params, points, lam, it + 1, done, cost
+
+    init = (prob.cam_params, prob.points, jnp.asarray(cfg.initial_lambda, jnp.float32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), cost0)
+    cam_params, points, lam, it, _, cost = jax.lax.while_loop(cond, body, init)
+
+    out = prob._replace(cam_params=cam_params, points=points)
+    return out, BAStats(initial_cost=cost0, final_cost=cost, iterations=it, lam=lam)

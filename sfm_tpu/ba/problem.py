@@ -1,0 +1,123 @@
+"""BA problem arrays: padded device views of the Reconstruction state."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from sfm_tpu.scene.state import Reconstruction
+
+CAM_DIM = 6   # rvec(3) + tvec(3); intrinsics refinement widens this later
+PT_DIM = 3
+
+
+class BAProblem(NamedTuple):
+    """Statically-shaped bundle adjustment problem.
+
+    Cameras and points are indexed densely [0, C) / [0, P); observations are
+    padded to a fixed budget with obs_w = 0. cam_fixed marks gauge-fixed or
+    out-of-window cameras (their updates are zeroed — local BA windowing,
+    SURVEY.md §2.6).
+    """
+
+    cam_params: jnp.ndarray   # [C, 6] rvec + tvec
+    intrinsics: jnp.ndarray   # [C, 6]
+    points: jnp.ndarray       # [P, 3]
+    obs_cam: jnp.ndarray      # [O] int32
+    obs_point: jnp.ndarray    # [O] int32
+    obs_uv: jnp.ndarray       # [O, 2]
+    obs_w: jnp.ndarray        # [O] float (0 = padding)
+    cam_fixed: jnp.ndarray    # [C] bool
+    point_fixed: jnp.ndarray  # [P] bool
+
+    @property
+    def num_cameras(self):
+        return self.cam_params.shape[0]
+
+    @property
+    def num_points(self):
+        return self.points.shape[0]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+def build_problem(
+    rec: Reconstruction,
+    cam_indices: np.ndarray | None = None,
+    free_cams: np.ndarray | None = None,
+    obs_capacity: int | None = None,
+    point_capacity: int | None = None,
+) -> tuple[BAProblem, np.ndarray, np.ndarray]:
+    """Extract a BA problem from the reconstruction.
+
+    cam_indices: global image ids to include (default: all registered).
+    free_cams: subset of cam_indices that are optimized (default: all but
+      the first, which anchors the gauge).
+    Returns (problem, cam_indices, point_ids) where point_ids maps local
+    point rows back to reconstruction point ids.
+    """
+    if cam_indices is None:
+        cam_indices = np.where(rec.registered)[0]
+    cam_indices = np.asarray(cam_indices, dtype=np.int32)
+    cam_lut = -np.ones(len(rec.registered), dtype=np.int32)
+    cam_lut[cam_indices] = np.arange(len(cam_indices))
+
+    # Observations whose image is in the camera set and point is valid.
+    sel = (cam_lut[rec.obs_image] >= 0) & rec.point_valid[rec.obs_point]
+    obs_rows = np.where(sel)[0]
+    point_ids = np.unique(rec.obs_point[obs_rows])
+    pt_lut = -np.ones(len(rec.points), dtype=np.int32)
+    pt_lut[point_ids] = np.arange(len(point_ids))
+
+    O = len(obs_rows)
+    C = len(cam_indices)
+    P = len(point_ids)
+    O_cap = obs_capacity or _round_up(O, 1024)
+    P_cap = point_capacity or _round_up(P, 256)
+
+    obs_cam = np.zeros(O_cap, np.int32)
+    obs_point = np.zeros(O_cap, np.int32)
+    obs_uv = np.zeros((O_cap, 2), np.float32)
+    obs_w = np.zeros(O_cap, np.float32)
+    obs_cam[:O] = cam_lut[rec.obs_image[obs_rows]]
+    obs_point[:O] = pt_lut[rec.obs_point[obs_rows]]
+    obs_uv[:O] = rec.obs_uv[obs_rows]
+    obs_w[:O] = 1.0
+
+    points = np.zeros((P_cap, 3), np.float32)
+    points[:P] = rec.points[point_ids]
+
+    if free_cams is None:
+        fixed = np.zeros(C, bool)
+        fixed[0] = True  # gauge anchor
+    else:
+        free_set = set(int(i) for i in free_cams)
+        fixed = np.array([int(g) not in free_set for g in cam_indices])
+
+    prob = BAProblem(
+        cam_params=jnp.asarray(
+            np.concatenate([rec.rvecs[cam_indices], rec.tvecs[cam_indices]], axis=1).astype(np.float32)
+        ),
+        intrinsics=jnp.asarray(rec.intrinsics[cam_indices].astype(np.float32)),
+        points=jnp.asarray(points),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_w=jnp.asarray(obs_w),
+        cam_fixed=jnp.asarray(fixed),
+        point_fixed=jnp.asarray(np.arange(P_cap) >= P),
+    )
+    return prob, cam_indices, point_ids
+
+
+def writeback(rec: Reconstruction, prob: BAProblem, cam_indices: np.ndarray, point_ids: np.ndarray) -> None:
+    """Write optimized parameters back into the reconstruction (in place)."""
+    cp = np.asarray(prob.cam_params)
+    rec.rvecs[cam_indices] = cp[:, :3]
+    rec.tvecs[cam_indices] = cp[:, 3:6]
+    pts = np.asarray(prob.points)[: len(point_ids)]
+    rec.points[point_ids] = pts

@@ -1,0 +1,221 @@
+"""Scale-space keypoint detection (SURVEY.md §2.2).
+
+Reference-class realization: C++ per-pixel scans with early-exit branches.
+TPU-native realization: the whole octave is processed as dense array ops —
+3x3x3 extremum test via reduce_window, candidate selection via top_k on the
+response map (static budget), subpixel refinement as a vmapped batch of 3x3
+linear solves. No data-dependent shapes anywhere: rejected candidates carry
+valid=False through the padding contract.
+
+Matches the Lowe/VLFeat semantics: contrast threshold on the interpolated
+DoG value, edge rejection by the 2x2 spatial Hessian trace/det ratio,
+orientation from a Gaussian-weighted 36-bin gradient histogram with
+parabolic peak interpolation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import SiftConfig
+from sfm_tpu.ops.interp import bilinear_sample_stack
+
+
+class OctaveKeypoints(NamedTuple):
+    """Per-octave candidate keypoints, octave-local coordinates. All [K]."""
+
+    x: jnp.ndarray          # octave pixels (continuous)
+    y: jnp.ndarray
+    level: jnp.ndarray      # refined continuous DoG level index
+    sigma: jnp.ndarray      # octave-relative blur
+    response: jnp.ndarray   # |interpolated DoG contrast|
+    angle: jnp.ndarray      # radians, filled by assign_orientation
+    valid: jnp.ndarray      # bool
+
+
+def find_extrema(dog: jnp.ndarray, cfg: SiftConfig, k_budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """dog [Ld, H, W] -> (flat candidate indices [K], candidate scores [K]).
+
+    A voxel is a candidate iff it is the strict max or min of its 26
+    neighbours and exceeds ~80% of the contrast threshold (the final
+    threshold is applied after subpixel interpolation, like the reference
+    class does).
+    """
+    Ld, H, W = dog.shape
+    wmax = jax.lax.reduce_window(dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    wmin = jax.lax.reduce_window(dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+    pre_thresh = 0.8 * cfg.contrast_threshold / cfg.scales_per_octave
+    is_ext = ((dog >= wmax) & (dog > pre_thresh)) | ((dog <= wmin) & (dog < -pre_thresh))
+
+    # Interior only: need a full 3x3x3 neighbourhood and a refinement margin.
+    lev = jnp.arange(Ld).reshape(Ld, 1, 1)
+    yy = jnp.arange(H).reshape(1, H, 1)
+    xx = jnp.arange(W).reshape(1, 1, W)
+    margin = 5
+    interior = (
+        (lev >= 1) & (lev <= Ld - 2)
+        & (yy >= margin) & (yy < H - margin)
+        & (xx >= margin) & (xx < W - margin)
+    )
+    score = jnp.where(is_ext & interior, jnp.abs(dog), 0.0)
+    vals, idx = jax.lax.top_k(score.reshape(-1), k_budget)
+    return idx, vals
+
+
+def _gather_cube(dog_flat: jnp.ndarray, Ld: int, H: int, W: int, l, y, x) -> jnp.ndarray:
+    """Gather the 3x3x3 neighbourhood around integer (l, y, x). Returns [..., 3, 3, 3]."""
+    offs = jnp.arange(-1, 2)
+    li = (l[..., None, None, None] + offs.reshape(3, 1, 1))
+    yi = (y[..., None, None, None] + offs.reshape(1, 3, 1))
+    xi = (x[..., None, None, None] + offs.reshape(1, 1, 3))
+    flat_idx = (li * H + yi) * W + xi
+    return dog_flat[flat_idx]
+
+
+def refine_candidates(dog: jnp.ndarray, idx: jnp.ndarray, scores: jnp.ndarray, cfg: SiftConfig) -> OctaveKeypoints:
+    """Subpixel/sublevel refinement by iterated 3D quadratic fit (SURVEY.md §2.2).
+
+    Fixed iteration count; each iteration moves the integer base voxel toward
+    the offset if it exceeds 0.6 (clamped to the interior), re-fits, and the
+    final validity folds in convergence, contrast, and edge tests.
+    """
+    Ld, H, W = dog.shape
+    dog_flat = dog.reshape(-1)
+    l = jnp.clip((idx // (H * W)).astype(jnp.int32), 1, Ld - 2)
+    rem = idx % (H * W)
+    y = jnp.clip((rem // W).astype(jnp.int32), 2, H - 3)
+    x = jnp.clip((rem % W).astype(jnp.int32), 2, W - 3)
+    alive = scores > 0.0
+
+    offset = jnp.zeros((idx.shape[0], 3), dtype=jnp.float32)
+    grad = jnp.zeros_like(offset)
+    for _ in range(cfg.refine_iters):
+        cube = _gather_cube(dog_flat, Ld, H, W, l, y, x)  # [K, 3, 3, 3] (l, y, x)
+        # First derivatives (central differences on the cube).
+        dl = 0.5 * (cube[:, 2, 1, 1] - cube[:, 0, 1, 1])
+        dy = 0.5 * (cube[:, 1, 2, 1] - cube[:, 1, 0, 1])
+        dx = 0.5 * (cube[:, 1, 1, 2] - cube[:, 1, 1, 0])
+        c = cube[:, 1, 1, 1]
+        dll = cube[:, 2, 1, 1] + cube[:, 0, 1, 1] - 2 * c
+        dyy = cube[:, 1, 2, 1] + cube[:, 1, 0, 1] - 2 * c
+        dxx = cube[:, 1, 1, 2] + cube[:, 1, 1, 0] - 2 * c
+        dly = 0.25 * (cube[:, 2, 2, 1] - cube[:, 2, 0, 1] - cube[:, 0, 2, 1] + cube[:, 0, 0, 1])
+        dlx = 0.25 * (cube[:, 2, 1, 2] - cube[:, 2, 1, 0] - cube[:, 0, 1, 2] + cube[:, 0, 1, 0])
+        dyx = 0.25 * (cube[:, 1, 2, 2] - cube[:, 1, 2, 0] - cube[:, 1, 0, 2] + cube[:, 1, 0, 0])
+        Hm = jnp.stack(
+            [
+                jnp.stack([dll, dly, dlx], -1),
+                jnp.stack([dly, dyy, dyx], -1),
+                jnp.stack([dlx, dyx, dxx], -1),
+            ],
+            -2,
+        )  # [K, 3, 3]
+        g = jnp.stack([dl, dy, dx], -1)
+        # Regularized solve: H may be near-singular for rejected candidates.
+        Hm = Hm + 1e-6 * jnp.eye(3)
+        offset = -jnp.linalg.solve(Hm, g[..., None])[..., 0]
+        offset = jnp.clip(offset, -1.5, 1.5)
+        grad = g
+        # Move base voxel where the fit wants to step to a neighbour.
+        step = jnp.where(jnp.abs(offset) > 0.6, jnp.sign(offset).astype(jnp.int32), 0)
+        l = jnp.clip(l + step[:, 0], 1, Ld - 2)
+        y = jnp.clip(y + step[:, 1], 2, H - 3)
+        x = jnp.clip(x + step[:, 2], 2, W - 3)
+
+    cube = _gather_cube(dog_flat, Ld, H, W, l, y, x)
+    c = cube[:, 1, 1, 1]
+    contrast = c + 0.5 * jnp.sum(grad * offset, axis=-1)
+    converged = jnp.max(jnp.abs(offset), axis=-1) < 1.0
+
+    # Edge response: 2x2 spatial Hessian at the final voxel.
+    dyy = cube[:, 1, 2, 1] + cube[:, 1, 0, 1] - 2 * c
+    dxx = cube[:, 1, 1, 2] + cube[:, 1, 1, 0] - 2 * c
+    dyx = 0.25 * (cube[:, 1, 2, 2] - cube[:, 1, 2, 0] - cube[:, 1, 0, 2] + cube[:, 1, 0, 0])
+    tr = dxx + dyy
+    det = dxx * dyy - dyx * dyx
+    r = cfg.edge_threshold
+    not_edge = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+    good_contrast = jnp.abs(contrast) >= cfg.contrast_threshold / cfg.scales_per_octave
+    valid = alive & converged & good_contrast & not_edge
+
+    level = l.astype(jnp.float32) + offset[:, 0]
+    fy = y.astype(jnp.float32) + offset[:, 1]
+    fx = x.astype(jnp.float32) + offset[:, 2]
+    # DoG level i sits between gaussian levels i and i+1; blur follows the
+    # gaussian ladder sigma0 * 2^(level/s).
+    sigma = cfg.sigma0 * jnp.exp2(level / cfg.scales_per_octave)
+    return OctaveKeypoints(
+        x=fx, y=fy, level=level, sigma=sigma,
+        response=jnp.abs(contrast), angle=jnp.zeros_like(fx), valid=valid,
+    )
+
+
+# Orientation sampling lattice: 13x13 at 0.75*sigma spacing covers the
+# Lowe/OpenCV window radius of 3 * 1.5 * sigma = 4.5 sigma.
+_ORI_GRID_N = 13
+_ORI_SPACING = 0.75
+_ORI_SIGMA_W = 1.5
+
+
+def assign_orientation(kps: OctaveKeypoints, dx_stack: jnp.ndarray, dy_stack: jnp.ndarray, cfg: SiftConfig) -> OctaveKeypoints:
+    """Dominant gradient orientation per keypoint (SURVEY.md §2.2).
+
+    dx_stack/dy_stack: [L, H, W] gradients of the octave's gaussian stack.
+    A fixed lattice of samples (scaled by each keypoint's sigma) is gathered
+    bilinearly; the 36-bin Gaussian-weighted histogram is smoothed and the
+    peak interpolated parabolically. Fully batched over keypoints.
+    """
+    nb = cfg.num_orientation_bins
+    g = jnp.arange(_ORI_GRID_N, dtype=jnp.float32) - (_ORI_GRID_N - 1) / 2.0
+    uu, vv = jnp.meshgrid(g, g, indexing="xy")
+    lattice = jnp.stack([uu.reshape(-1), vv.reshape(-1)], -1) * _ORI_SPACING  # [P, 2] sigma units
+    w_gauss = jnp.exp(-jnp.sum(lattice**2, -1) / (2.0 * _ORI_SIGMA_W**2))       # [P]
+
+    # Gradient level nearest to the keypoint blur (gaussian level = dog level).
+    glev = jnp.clip(jnp.round(kps.level).astype(jnp.int32), 0, dx_stack.shape[0] - 1)
+    pos = jnp.stack([kps.x, kps.y], -1)[:, None, :] + lattice[None, :, :] * kps.sigma[:, None, None]  # [K, P, 2]
+    lev = jnp.broadcast_to(glev[:, None], pos.shape[:2])
+    gx = bilinear_sample_stack(dx_stack, lev, pos)
+    gy = bilinear_sample_stack(dy_stack, lev, pos)
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+
+    # Soft-binned circular histogram.
+    binf = (ang / (2.0 * jnp.pi) * nb) % nb
+    b0 = jnp.floor(binf)
+    frac = binf - b0
+    bins = jnp.arange(nb, dtype=jnp.float32)
+    w = mag * w_gauss[None, :]
+    d0 = (bins[None, None, :] - b0[..., None]) % nb
+    contrib = jnp.where(d0 == 0, 1.0 - frac[..., None], jnp.where(d0 == 1, frac[..., None], 0.0))
+    hist = jnp.sum(w[..., None] * contrib, axis=1)  # [K, nb]
+
+    # Two passes of [1, 4, 6, 4, 1]/16 circular smoothing.
+    for _ in range(2):
+        hist = (
+            6.0 * hist
+            + 4.0 * (jnp.roll(hist, 1, -1) + jnp.roll(hist, -1, -1))
+            + (jnp.roll(hist, 2, -1) + jnp.roll(hist, -2, -1))
+        ) / 16.0
+
+    peak = jnp.argmax(hist, axis=-1)
+    hp = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+    hl = jnp.take_along_axis(hist, ((peak - 1) % nb)[:, None], 1)[:, 0]
+    hr = jnp.take_along_axis(hist, ((peak + 1) % nb)[:, None], 1)[:, 0]
+    denom = hl - 2.0 * hp + hr
+    interp = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (hl - hr) / denom, 0.0)
+    angle = ((peak.astype(jnp.float32) + interp) / nb) * 2.0 * jnp.pi
+    angle = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
+    return kps._replace(angle=angle)
+
+
+def detect_octave(dog: jnp.ndarray, dx_stack: jnp.ndarray, dy_stack: jnp.ndarray, cfg: SiftConfig, k_budget: int) -> OctaveKeypoints:
+    """Full single-octave detection: extrema -> refine -> orientation."""
+    idx, scores = find_extrema(dog, cfg, k_budget)
+    kps = refine_candidates(dog, idx, scores, cfg)
+    return assign_orientation(kps, dx_stack, dy_stack, cfg)

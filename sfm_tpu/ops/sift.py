@@ -1,0 +1,105 @@
+"""SIFT feature extraction stage: images -> fixed-budget keypoints+descriptors.
+
+The jit boundary for the feature stage (SURVEY.md §3.2). Batched over images
+([B, H, W] canvases from ingest); the octave loop is a static Python loop
+(unrolled at trace time), everything inside is vmapped over the batch.
+Output obeys the padding contract: exactly cfg.max_keypoints slots per image
+with a validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import SiftConfig
+from sfm_tpu.ops import pyramid as pyr
+from sfm_tpu.ops.detect import detect_octave
+from sfm_tpu.ops.descriptor import compute_descriptors
+
+
+class Features(NamedTuple):
+    """Per-image feature sets, fixed budget N = cfg.max_keypoints."""
+
+    xy: jnp.ndarray        # [B, N, 2] pixel coords in the original image
+    sigma: jnp.ndarray     # [B, N] absolute scale
+    angle: jnp.ndarray     # [B, N] radians
+    response: jnp.ndarray  # [B, N]
+    desc: jnp.ndarray      # [B, N, 128] L2-normalized
+    valid: jnp.ndarray     # [B, N] bool
+
+    @property
+    def count(self):
+        return jnp.sum(self.valid, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_features(images: jnp.ndarray, cfg: SiftConfig, valid_hw: jnp.ndarray | None = None) -> Features:
+    """images: [B, H, W] float32 grayscale in [0, 1].
+
+    valid_hw: optional [B, 2] (height, width) of the un-padded content in
+    each canvas; keypoints outside are masked out.
+    """
+    B = images.shape[0]
+    octaves = pyr.build_pyramid(images, cfg)
+    factor0 = 0.5 if cfg.upsample_first_octave else 1.0
+
+    per_oct = []
+    k_budget = max(cfg.max_candidates // cfg.num_octaves, 32)
+    for o, stack in enumerate(octaves):
+        dog = stack[:, 1:] - stack[:, :-1]
+        dx, dy = pyr.pyramid_gradients(stack)
+        k_this = min(k_budget, int(dog.shape[1] * dog.shape[2] * dog.shape[3]))
+
+        def per_image(dog_i, dx_i, dy_i):
+            kps = detect_octave(dog_i, dx_i, dy_i, cfg, k_this)
+            desc = compute_descriptors(kps, dx_i, dy_i, cfg)
+            return kps, desc
+
+        kps, desc = jax.vmap(per_image)(dog, dx, dy)
+        scale = factor0 * (2.0**o)
+        xy = jnp.stack([kps.x, kps.y], -1) * scale
+        per_oct.append(
+            dict(
+                xy=xy,
+                sigma=kps.sigma * scale,
+                angle=kps.angle,
+                response=kps.response,
+                desc=desc,
+                valid=kps.valid,
+            )
+        )
+
+    cat = {k: jnp.concatenate([p[k] for p in per_oct], axis=1) for k in per_oct[0]}
+
+    if valid_hw is not None:
+        margin = 1.0
+        inside = (
+            (cat["xy"][..., 0] >= margin)
+            & (cat["xy"][..., 0] < valid_hw[:, None, 1] - margin)
+            & (cat["xy"][..., 1] >= margin)
+            & (cat["xy"][..., 1] < valid_hw[:, None, 0] - margin)
+        )
+        cat["valid"] = cat["valid"] & inside
+
+    # Keypoint budget: top max_keypoints by response among valid slots.
+    score = jnp.where(cat["valid"], cat["response"], -1.0)
+    n = min(cfg.max_keypoints, score.shape[1])
+    _, top = jax.lax.top_k(score, n)
+
+    def take(a):
+        return jnp.take_along_axis(a, top.reshape(B, n, *([1] * (a.ndim - 2))), axis=1) if a.ndim > 2 \
+            else jnp.take_along_axis(a, top, axis=1)
+
+    feats = Features(
+        xy=take(cat["xy"]),
+        sigma=take(cat["sigma"]),
+        angle=take(cat["angle"]),
+        response=take(cat["response"]),
+        desc=take(cat["desc"]),
+        valid=take(cat["valid"]) & (jnp.take_along_axis(score, top, axis=1) > 0),
+    )
+    return feats

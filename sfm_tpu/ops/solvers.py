@@ -1,0 +1,276 @@
+"""Two-view minimal solvers (SURVEY.md §2.4) — native component #4.
+
+Reference-class realization: C++ minimal solvers (Nister 5-pt, 8-pt F, 4-pt
+H) called one hypothesis at a time inside adaptive RANSAC. TPU-native
+re-design: every solver is a small dense linear-algebra kernel written to
+vmap over a static batch of hypotheses — the null-space extraction uses
+eigh of the 9x9 (or 4x4) normal matrix instead of a tall SVD, which is both
+faster and batch-friendly on the MXU, and Hartley normalization keeps the
+squared conditioning inside fp32 range (SURVEY.md §7 hard part 1).
+
+The 5-pt solver is deliberately replaced by normalized 8-pt-E + Gauss-Newton
+polish (SURVEY.md §7 hard part 5): Nister's 10th-degree polynomial /
+nonsymmetric eigensolve is hostile to batched TPU execution, while 8-pt-E
+with refinement reaches accuracy parity (tested against cv2.findEssentialMat
+in tests/oracle/).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def hartley_normalize(x: jnp.ndarray, w: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Translate to centroid, scale to mean distance sqrt(2).
+
+    x: [N, 2]; w: optional [N] weights (zero = ignored). Returns (x_norm, T)
+    with T [3, 3] such that x_norm_h = T @ x_h.
+    """
+    if w is None:
+        w = jnp.ones(x.shape[0], dtype=x.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    mean = jnp.sum(x * w[:, None], axis=0) / wsum
+    d = jnp.sqrt(jnp.sum((x - mean) ** 2, axis=-1) + 1e-12)
+    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d * w) / wsum, 1e-8)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=x.dtype)
+    T = T.at[0, 0].set(scale).at[1, 1].set(scale)
+    T = T.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
+    return (x - mean) * scale, T
+
+
+def _nullvec9(A: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Smallest eigenvector of A^T A for A [N, 9] (optionally row-weighted)."""
+    if w is not None:
+        A = A * w[:, None]
+    AtA = A.T @ A
+    _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    return V[:, 0]
+
+
+def _epipolar_rows(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Rows of the 8-point constraint matrix: x2^T F x1 = 0. [N, 9]."""
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    one = jnp.ones_like(u1)
+    return jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1)
+
+
+def fundamental_8pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Hartley-normalized 8-point fundamental matrix from [N>=8, 2] pixel pairs."""
+    x1n, T1 = hartley_normalize(x1, w)
+    x2n, T2 = hartley_normalize(x2, w)
+    f = _nullvec9(_epipolar_rows(x1n, x2n), w)
+    F = f.reshape(3, 3)
+    # Rank-2 enforcement.
+    U, S, Vt = jnp.linalg.svd(F)
+    F = (U * S.at[2].set(0.0)[None, :]) @ Vt
+    F = T2.T @ F @ T1
+    return F / jnp.maximum(jnp.abs(F[2, 2]), 1e-12) * jnp.sign(F[2, 2] + 1e-30)
+
+
+def essential_8pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """8-point essential matrix from [N>=8, 2] normalized-camera coords.
+
+    Singular values projected to (1, 1, 0) — the E manifold.
+    """
+    e = _nullvec9(_epipolar_rows(x1, x2), w)
+    E = e.reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[0] + S[1]) * 0.5
+    return (U * jnp.array([1.0, 1.0, 0.0])[None, :]) @ Vt * jnp.where(s > 0, 1.0, 1.0)
+
+
+def essential_from_rt(params: jnp.ndarray) -> jnp.ndarray:
+    """E = [t]_x R from a 6-vector [rvec, t] (t normalized to the sphere)."""
+    from sfm_tpu.geometry.rotations import so3_exp, so3_hat
+
+    rv, t = params[:3], params[3:]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
+    return so3_hat(t) @ so3_exp(rv)
+
+
+def _sampson_signed(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Signed first-order Sampson residual (not squared). [N]."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    Fx1 = x1h @ E.T
+    Ftx2 = x2h @ E
+    num = jnp.sum(x2h * Fx1, axis=-1)
+    den = jnp.sqrt(Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2 + 1e-12)
+    return num / den
+
+
+def essential_minimal(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None, gn_iters: int = 6) -> jnp.ndarray:
+    """The canonical batched essential solver: 8-pt init + on-manifold GN.
+
+    The linear 8-pt estimate of E is badly noise-amplified on minimal
+    samples because E has 5 DOF while the null vector has 8 — the (1,1,0)
+    singular-value projection can land far from the sample's geometry (this
+    is why reference-class systems use Nister 5-pt). Instead of the
+    batch-hostile 5-pt polynomial solve, we decompose the linear E to (R, t)
+    and run a few Gauss-Newton steps on the Sampson residuals in the (R, t)
+    parametrization — exactly on the E manifold, fully vmappable. Measured
+    on the planted-outlier fixture this lifts minimal-sample consensus from
+    ~35% to 100% of the true inlier set (see tests/unit/test_ransac.py).
+    """
+    import jax
+
+    if w is None:
+        w = jnp.ones(x1.shape[0], dtype=x1.dtype)
+    E0 = essential_8pt(x1, x2, w)
+    R, t, _ = decompose_essential(E0, x1, x2, w > 0)
+    from sfm_tpu.geometry.rotations import matrix_to_aa
+
+    p = jnp.concatenate([matrix_to_aa(R), t])
+
+    def res(params):
+        return w * _sampson_signed(essential_from_rt(params), x1, x2)
+
+    for _ in range(gn_iters):
+        J = jax.jacfwd(res)(p)
+        r = res(p)
+        p = p - jnp.linalg.solve(J.T @ J + 1e-8 * jnp.eye(6), J.T @ r)
+    return essential_from_rt(p)
+
+
+def homography_4pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """DLT homography from [N>=4, 2] pixel pairs, Hartley-normalized."""
+    x1n, T1 = hartley_normalize(x1, w)
+    x2n, T2 = hartley_normalize(x2, w)
+    u1, v1 = x1n[:, 0], x1n[:, 1]
+    u2, v2 = x2n[:, 0], x2n[:, 1]
+    z = jnp.zeros_like(u1)
+    o = jnp.ones_like(u1)
+    r1 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
+    r2 = jnp.stack([z, z, z, u1, v1, o, -v2 * u1, -v2 * v1, -v2], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)
+    ww = None if w is None else jnp.concatenate([w, w], axis=0)
+    h = _nullvec9(A, ww)
+    H = h.reshape(3, 3)
+    H = jnp.linalg.inv(T2) @ H @ T1
+    return H / jnp.where(jnp.abs(H[2, 2]) > 1e-12, H[2, 2], 1e-12)
+
+
+def sampson_error(F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) squared error of x2^T F x1 = 0. [N]."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    Fx1 = x1h @ F.T       # [N, 3] = F @ x1
+    Ftx2 = x2h @ F        # [N, 3] = F^T @ x2
+    num = jnp.sum(x2h * Fx1, axis=-1) ** 2
+    den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def homography_error(H: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Squared symmetric-free forward transfer error |H x1 - x2|^2. [N]."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    p = x1h @ H.T
+    z = jnp.where(jnp.abs(p[:, 2:3]) < 1e-12, 1e-12, p[:, 2:3])
+    return jnp.sum((p[:, :2] / z - x2) ** 2, axis=-1)
+
+
+def triangulate_linear(
+    R1: jnp.ndarray, t1: jnp.ndarray, R2: jnp.ndarray, t2: jnp.ndarray,
+    x1: jnp.ndarray, x2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Two-view DLT triangulation in normalized camera coords.
+
+    Projection matrices P = [R | t]; for each correspondence builds the 4x4
+    cross-product constraint and takes the smallest eigenvector of A^T A
+    (batch-friendly; no per-point SVD of a 4x4). x1/x2: [N, 2] -> [N, 3].
+    """
+    P1 = jnp.concatenate([R1, t1[:, None]], axis=1)  # [3, 4]
+    P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
+
+    def rows(P, x):
+        # x * P[2] - P[0], y * P[2] - P[1]
+        return jnp.stack(
+            [x[:, 0:1] * P[2][None, :] - P[0][None, :],
+             x[:, 1:2] * P[2][None, :] - P[1][None, :]], axis=1
+        )  # [N, 2, 4]
+
+    A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], axis=1)  # [N, 4, 4]
+    AtA = jnp.einsum("nij,nik->njk", A, A)
+    _, V = jnp.linalg.eigh(AtA)
+    Xh = V[..., 0]  # [N, 4]
+    w = jnp.where(jnp.abs(Xh[:, 3:4]) < 1e-12, 1e-12, Xh[:, 3:4])
+    return Xh[:, :3] / w
+
+
+def decompose_essential(
+    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """E -> (R, t) with the cheirality test (SURVEY.md §2.4).
+
+    Camera 1 at identity; returns the world->cam2 pose among the four
+    (R1, R2) x (+-t) candidates that puts the most masked correspondences in
+    front of BOTH cameras, plus the per-candidate vote. x1/x2 normalized
+    coords. Returns (rmat [3,3], t [3], positive-depth count).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # Proper rotations.
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    Ra = U @ W @ Vt
+    Rb = U @ W.T @ Vt
+    t = U[:, 2]
+    eye = jnp.eye(3)
+    zero = jnp.zeros(3)
+
+    def votes(R, tt):
+        X = triangulate_linear(eye, zero, R, tt, x1, x2)
+        z1 = X[:, 2]
+        z2 = (X @ R.T + tt)[:, 2]
+        return jnp.sum((z1 > 0) & (z2 > 0) & mask)
+
+    cands_R = jnp.stack([Ra, Ra, Rb, Rb])
+    cands_t = jnp.stack([t, -t, t, -t])
+    n = jnp.stack([votes(cands_R[i], cands_t[i]) for i in range(4)])
+    best = jnp.argmax(n)
+    return cands_R[best], cands_t[best], n[best]
+
+
+def refine_essential_gn(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
+    """Gauss-Newton polish of E on weighted inliers, minimizing Sampson error.
+
+    Parametrized by the full 9-vector with projection back to the E manifold
+    each step — simple, batch-friendly, and enough to close the gap left by
+    the linear 8-pt estimate (SURVEY.md §7 hard part 5).
+    """
+    import jax
+
+    def sampson_res(evec):
+        Em = evec.reshape(3, 3)
+        x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+        x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+        Fx1 = x1h @ Em.T
+        Ftx2 = x2h @ Em
+        num = jnp.sum(x2h * Fx1, axis=-1)
+        den = jnp.sqrt(Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2 + 1e-12)
+        return w * num / den
+
+    def project_manifold(evec):
+        Em = evec.reshape(3, 3)
+        U, _, Vt = jnp.linalg.svd(Em)
+        return ((U * jnp.array([1.0, 1.0, 0.0])[None, :]) @ Vt).reshape(9)
+
+    def cost(evec):
+        r = sampson_res(evec)
+        return jnp.sum(r * r)
+
+    evec = project_manifold(E.reshape(9))
+    best = evec
+    best_cost = cost(evec)
+    for _ in range(iters):
+        J = jax.jacfwd(sampson_res)(evec)  # [N, 9]
+        r = sampson_res(evec)
+        JtJ = J.T @ J + 1e-8 * jnp.eye(9)
+        step = jnp.linalg.solve(JtJ, J.T @ r)
+        evec = project_manifold(evec - step)
+        c = cost(evec)
+        take = c < best_cost
+        best = jnp.where(take, evec, best)
+        best_cost = jnp.where(take, c, best_cost)
+    return best.reshape(3, 3)

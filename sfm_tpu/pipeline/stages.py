@@ -1,0 +1,137 @@
+"""Stage wrappers: host-side loops feeding jit-compiled device blocks
+(SURVEY.md §3.1). Each stage streams fixed-shape blocks to the device and
+returns plain numpy for the (cheap, irregular) host bookkeeping between
+stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import PipelineConfig
+from sfm_tpu.ops.sift import extract_features, Features
+from sfm_tpu.ops.match import match_block
+from sfm_tpu.ops.verify import verify_block
+from sfm_tpu.pipeline.ingest import ImageBatch
+
+_FEATURE_CHUNK = 8  # images per device batch in the feature stage
+
+
+@dataclass
+class FeatureSet:
+    """Host-side features for all images (canvas pixel coords)."""
+
+    xy: np.ndarray        # [B, N, 2]
+    sigma: np.ndarray     # [B, N]
+    angle: np.ndarray     # [B, N]
+    response: np.ndarray  # [B, N]
+    desc: np.ndarray      # [B, N, 128]
+    valid: np.ndarray     # [B, N]
+
+
+@dataclass
+class MatchGraph:
+    """Verified match graph (SURVEY.md §2.3/2.4): edges + two-view geometry."""
+
+    pairs: np.ndarray          # [E, 2] image indices (i < j)
+    idx_i: np.ndarray          # [E, M] keypoint indices in image i
+    idx_j: np.ndarray          # [E, M]
+    inlier: np.ndarray         # [E, M] bool (geometric inliers)
+    num_inliers: np.ndarray    # [E]
+    num_h_inliers: np.ndarray  # [E]
+    rvec: np.ndarray           # [E, 3] relative pose i->j
+    tvec: np.ndarray           # [E, 3]
+    ok: np.ndarray             # [E] bool
+
+
+def extract_stage(batch: ImageBatch, cfg: PipelineConfig) -> FeatureSet:
+    B = batch.canvases.shape[0]
+    outs = []
+    for s in range(0, B, _FEATURE_CHUNK):
+        e = min(s + _FEATURE_CHUNK, B)
+        # Pad the last chunk to the fixed batch size (one compile).
+        pad = _FEATURE_CHUNK - (e - s)
+        canv = batch.canvases[s:e]
+        hw = batch.valid_hw[s:e]
+        if pad:
+            canv = np.concatenate([canv, np.zeros((pad, *canv.shape[1:]), canv.dtype)])
+            hw = np.concatenate([hw, np.zeros((pad, 2), hw.dtype)])
+        f = extract_features(jnp.asarray(canv), cfg.sift, jnp.asarray(hw))
+        outs.append(jax.tree.map(lambda a: np.asarray(a)[: e - s], f))
+    return FeatureSet(
+        xy=np.concatenate([o.xy for o in outs]),
+        sigma=np.concatenate([o.sigma for o in outs]),
+        angle=np.concatenate([o.angle for o in outs]),
+        response=np.concatenate([o.response for o in outs]),
+        desc=np.concatenate([o.desc for o in outs]),
+        valid=np.concatenate([o.valid for o in outs]),
+    )
+
+
+def exhaustive_pairs(num_images: int) -> np.ndarray:
+    """All N(N-1)/2 pairs (i < j)."""
+    ii, jj = np.triu_indices(num_images, k=1)
+    return np.stack([ii, jj], axis=1).astype(np.int32)
+
+
+def match_and_verify_stage(
+    feats: FeatureSet, pairs: np.ndarray, intrinsics: np.ndarray, cfg: PipelineConfig, seed: int = 0
+) -> MatchGraph:
+    """Match + geometric verification over pair blocks (SURVEY.md §3.3)."""
+    E = len(pairs)
+    P = cfg.match.block_pairs
+    M = cfg.match.max_matches
+
+    out_idx_i = np.zeros((E, M), np.int32)
+    out_idx_j = np.zeros((E, M), np.int32)
+    out_inlier = np.zeros((E, M), bool)
+    out_ninl = np.zeros(E, np.int32)
+    out_nh = np.zeros(E, np.int32)
+    out_rvec = np.zeros((E, 3), np.float32)
+    out_tvec = np.zeros((E, 3), np.float32)
+    out_ok = np.zeros(E, bool)
+
+    base_key = jax.random.PRNGKey(seed)
+    for s in range(0, E, P):
+        e = min(s + P, E)
+        blk = pairs[s:e]
+        pad = P - len(blk)
+        if pad:
+            blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1))])
+        di = jnp.asarray(feats.desc[blk[:, 0]])
+        vi = jnp.asarray(feats.valid[blk[:, 0]])
+        dj = jnp.asarray(feats.desc[blk[:, 1]])
+        vj = jnp.asarray(feats.valid[blk[:, 1]])
+        pm = match_block(di, vi, dj, vj, cfg.match)
+
+        uv_i = np.take_along_axis(feats.xy[blk[:, 0]], np.asarray(pm.idx_i)[..., None], axis=1)
+        uv_j = np.take_along_axis(feats.xy[blk[:, 1]], np.asarray(pm.idx_j)[..., None], axis=1)
+        # Deterministic per-pair keys from the global pair index (SURVEY.md §5.2).
+        keys = jax.vmap(lambda t: jax.random.fold_in(base_key, t))(jnp.arange(s, s + P))
+        geom = verify_block(
+            keys,
+            jnp.asarray(uv_i), jnp.asarray(uv_j), pm.valid,
+            jnp.asarray(intrinsics[blk[:, 0]]), jnp.asarray(intrinsics[blk[:, 1]]),
+            cfg.ransac,
+        )
+        n = e - s
+        out_idx_i[s:e] = np.asarray(pm.idx_i)[:n]
+        out_idx_j[s:e] = np.asarray(pm.idx_j)[:n]
+        out_inlier[s:e] = np.asarray(geom.inliers)[:n]
+        out_ninl[s:e] = np.asarray(geom.num_inliers)[:n]
+        out_nh[s:e] = np.asarray(geom.num_h_inliers)[:n]
+        out_rvec[s:e] = np.asarray(geom.rvec)[:n]
+        out_tvec[s:e] = np.asarray(geom.tvec)[:n]
+        out_ok[s:e] = np.asarray(geom.ok)[:n]
+
+    # An edge needs both enough matches and geometric support.
+    enough = out_ninl >= cfg.ransac.min_inliers
+    return MatchGraph(
+        pairs=pairs, idx_i=out_idx_i, idx_j=out_idx_j, inlier=out_inlier,
+        num_inliers=out_ninl, num_h_inliers=out_nh,
+        rvec=out_rvec, tvec=out_tvec, ok=out_ok & enough,
+    )

@@ -1,0 +1,94 @@
+"""Reconstruction state (SURVEY.md §2.5, L3).
+
+The host-side scene graph: cameras (intrinsics + world->camera poses),
+sparse points, and observations (point_id, image_id, keypoint_id, pixel).
+Device stages consume/produce padded array views of this state; the arrays
+here are plain numpy so the incremental engine's cheap, irregular
+bookkeeping (which image registers next, track merging) stays on host
+(SURVEY.md §7 hard part 3).
+
+The observation table is the single source of truth for tracks: a track is
+the set of observation rows sharing point_id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sfm_tpu.geometry.projection import project
+import jax.numpy as jnp
+
+
+@dataclass
+class Reconstruction:
+    """Cameras, poses, points, observations — the public API output."""
+
+    # Cameras (fixed capacity = number of input images).
+    intrinsics: np.ndarray          # [K, 6]
+    rvecs: np.ndarray               # [K, 3] world->camera
+    tvecs: np.ndarray               # [K, 3]
+    registered: np.ndarray          # [K] bool
+    image_names: list = field(default_factory=list)
+
+    # Points.
+    points: np.ndarray = None       # [P, 3]
+    point_errors: np.ndarray = None # [P] mean reprojection error
+    point_valid: np.ndarray = None  # [P] bool
+
+    # Observations (tracks): rows (point_id, image_id, keypoint_id, u, v).
+    obs_point: np.ndarray = None    # [O] int32
+    obs_image: np.ndarray = None    # [O] int32
+    obs_kp: np.ndarray = None       # [O] int32
+    obs_uv: np.ndarray = None       # [O, 2] float32
+
+    @property
+    def num_registered(self) -> int:
+        return int(self.registered.sum())
+
+    @property
+    def num_points(self) -> int:
+        return 0 if self.point_valid is None else int(self.point_valid.sum())
+
+    @property
+    def num_observations(self) -> int:
+        return 0 if self.obs_point is None else len(self.obs_point)
+
+    def reprojection_errors(self) -> np.ndarray:
+        """Per-observation reprojection error in pixels. [O]."""
+        if self.num_observations == 0:
+            return np.zeros(0, dtype=np.float32)
+        pts = jnp.asarray(self.points[self.obs_point])
+        rv = jnp.asarray(self.rvecs[self.obs_image])
+        tv = jnp.asarray(self.tvecs[self.obs_image])
+        intr = jnp.asarray(self.intrinsics[self.obs_image])
+        proj = project(pts, rv, tv, intr)
+        err = np.linalg.norm(np.asarray(proj) - self.obs_uv, axis=-1)
+        return err.astype(np.float32)
+
+    def mean_reprojection_error(self) -> float:
+        """Mean pixel reprojection error over observations of valid points."""
+        if self.num_observations == 0:
+            return float("nan")
+        err = self.reprojection_errors()
+        ok = self.point_valid[self.obs_point]
+        return float(err[ok].mean()) if ok.any() else float("nan")
+
+    def track_lengths(self) -> np.ndarray:
+        if self.num_observations == 0:
+            return np.zeros(0, dtype=np.int32)
+        counts = np.bincount(self.obs_point, minlength=len(self.points))
+        return counts[self.point_valid]
+
+    def summary(self) -> dict:
+        """The reconstruction report (SURVEY.md §5.5): the BASELINE metrics."""
+        tl = self.track_lengths()
+        return {
+            "num_images": int(len(self.registered)),
+            "num_registered": self.num_registered,
+            "num_points": self.num_points,
+            "num_observations": self.num_observations,
+            "mean_reproj_error_px": self.mean_reprojection_error(),
+            "mean_track_length": float(tl.mean()) if len(tl) else 0.0,
+        }

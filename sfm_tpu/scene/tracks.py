@@ -1,0 +1,99 @@
+"""Track building (SURVEY.md §2.5): union-find over verified matches.
+
+Host-side by design: the graph is small (O(total keypoints)), the work is
+irregular pointer-chasing, and it runs once per reconstruction — exactly
+the kind of bookkeeping SURVEY.md §7 keeps off-device. Tracks touching one
+image twice are rejected (reference-class consistency filter).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from sfm_tpu.pipeline.stages import MatchGraph
+
+
+@dataclass
+class TrackSet:
+    """Track t spans observations rows [track_start[t], track_start[t+1])."""
+
+    # Per-observation, sorted by track id.
+    obs_image: np.ndarray   # [O] int32
+    obs_kp: np.ndarray      # [O] int32
+    track_id: np.ndarray    # [O] int32
+    num_tracks: int
+
+    def lengths(self) -> np.ndarray:
+        return np.bincount(self.track_id, minlength=self.num_tracks)
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, i: int) -> int:
+        root = i
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[i] != root:  # path compression
+            self.parent[i], i = root, self.parent[i]
+        return root
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def build_tracks(graph: MatchGraph, num_images: int, max_kp: int, min_length: int = 2) -> TrackSet:
+    """Union-find over inlier correspondences of verified edges."""
+    uf = _UnionFind(num_images * max_kp)
+
+    def node(img, kp):
+        return img * max_kp + kp
+
+    for e in range(len(graph.pairs)):
+        if not graph.ok[e]:
+            continue
+        i, j = graph.pairs[e]
+        inl = graph.inlier[e]
+        for ki, kj in zip(graph.idx_i[e][inl], graph.idx_j[e][inl]):
+            uf.union(node(i, int(ki)), node(j, int(kj)))
+
+    # Collect components over nodes that appear in at least one inlier match.
+    touched = set()
+    for e in range(len(graph.pairs)):
+        if not graph.ok[e]:
+            continue
+        i, j = graph.pairs[e]
+        inl = graph.inlier[e]
+        for ki, kj in zip(graph.idx_i[e][inl], graph.idx_j[e][inl]):
+            touched.add(node(i, int(ki)))
+            touched.add(node(j, int(kj)))
+
+    comp: dict[int, list[int]] = {}
+    for n in touched:
+        comp.setdefault(uf.find(n), []).append(n)
+
+    obs_image, obs_kp, track_id = [], [], []
+    tid = 0
+    for nodes in comp.values():
+        if len(nodes) < min_length:
+            continue
+        imgs = [n // max_kp for n in nodes]
+        if len(set(imgs)) != len(imgs):
+            continue  # track visits an image twice -> inconsistent, drop
+        for n in sorted(nodes):
+            obs_image.append(n // max_kp)
+            obs_kp.append(n % max_kp)
+            track_id.append(tid)
+        tid += 1
+
+    return TrackSet(
+        obs_image=np.asarray(obs_image, dtype=np.int32),
+        obs_kp=np.asarray(obs_kp, dtype=np.int32),
+        track_id=np.asarray(track_id, dtype=np.int32),
+        num_tracks=tid,
+    )

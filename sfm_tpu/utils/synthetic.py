@@ -133,6 +133,69 @@ def add_outliers(pixels: np.ndarray, visible: np.ndarray, fraction: float, image
     return out, is_outlier
 
 
+def render_blob_scene(
+    image_size: tuple[int, int] = (256, 256),
+    num_images: int = 2,
+    num_blobs: int = 120,
+    focal: float = 300.0,
+    seed: int = 0,
+    arc_fraction: float = 0.04,
+    radius: float = 4.0,
+) -> tuple[np.ndarray, SyntheticScene]:
+    """Render images of a TRUE-3D scene: each feature is a micro-cluster of
+    3D Gaussian splats around a parent point at random depth, so two-view
+    geometry is non-degenerate (unlike a textured plane, which is
+    homography-degenerate for E estimation). Appearance is approximately
+    viewpoint-invariant because the substructure is itself 3D. Returns
+    (images [N, H, W] float32 in [0, 1], ground-truth scene of the parents).
+    """
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+
+    scene = make_orbit_scene(
+        num_cameras=num_images, num_points=num_blobs, radius=radius,
+        point_extent=1.2, image_size=image_size, focal=focal, seed=seed,
+        arc_fraction=arc_fraction,
+    )
+    # Micro-structure: children offset around each parent, amplitudes fixed
+    # per child so appearance is consistent across views.
+    n_child = 5
+    child_off = rng.normal(0.0, 0.035, size=(num_blobs, n_child, 3))
+    child_off[:, 0] = 0.0  # one child exactly at the parent
+    child_amp = rng.uniform(0.35, 1.0, size=(num_blobs, n_child)) * rng.choice(
+        [-1.0, 1.0], size=(num_blobs, n_child)
+    )
+    child_size = rng.uniform(0.02, 0.045, size=(num_blobs, n_child))  # world units
+
+    children = (scene.points[:, None, :] + child_off).reshape(-1, 3)
+    amps = child_amp.reshape(-1)
+    sizes = child_size.reshape(-1)
+
+    images = []
+    ys, xs = np.mgrid[0:h, 0:w]
+    grid = np.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2).astype(np.float32)
+    for i in range(num_images):
+        uv = np.asarray(
+            jax.vmap(lambda p: project(p, jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]), jnp.asarray(scene.intrinsics[i])))(
+                jnp.asarray(children, dtype=jnp.float32)
+            )
+        )
+        depth = np.asarray(
+            point_depth(jnp.asarray(children, dtype=jnp.float32), jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]))
+        )
+        sigma_px = scene.intrinsics[i, 0] * sizes / np.maximum(depth, 0.5)
+        img = np.full(h * w, 0.45, dtype=np.float32)
+        # Low-frequency background so the image is not flat.
+        img += 0.05 * np.sin(grid[:, 0] / 37.0) * np.cos(grid[:, 1] / 53.0)
+        chunk = 64
+        for s in range(0, len(children), chunk):
+            e = min(s + chunk, len(children))
+            d2 = ((grid[:, None, :] - uv[None, s:e]) ** 2).sum(-1)  # [HW, c]
+            img += (amps[s:e] * 0.35 * np.exp(-d2 / (2 * sigma_px[s:e] ** 2 + 1e-6))).sum(-1)
+        images.append(np.clip(img, 0.0, 1.0).reshape(h, w))
+    return np.stack(images), scene
+
+
 def render_checkerboard_scene(
     image_size: tuple[int, int] = (256, 256),
     num_images: int = 2,

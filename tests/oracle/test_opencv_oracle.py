@@ -1,0 +1,73 @@
+"""OpenCV cross-validation (SURVEY.md §4.3): cv2 is the behavioral oracle in
+lieu of the unreadable reference binary.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from sfm_tpu.config import SiftConfig
+from sfm_tpu.ops.sift import extract_features
+from sfm_tpu.geometry.cameras import pixel_to_camera
+from sfm_tpu.ops import solvers
+from sfm_tpu.utils.synthetic import render_blob_scene, make_orbit_scene
+
+
+@pytest.fixture(scope="module")
+def blob_images():
+    imgs, scene = render_blob_scene(image_size=(256, 256), num_images=2, arc_fraction=0.04)
+    return imgs, scene
+
+
+def test_keypoint_repeatability_vs_cv2(blob_images):
+    """Most of our keypoints should be near a cv2.SIFT keypoint (both
+    detectors should fire on the same blobs)."""
+    imgs, _ = blob_images
+    cfg = SiftConfig(max_keypoints=512, max_candidates=2048, num_octaves=3, image_max_dim=256)
+    f = extract_features(jnp.asarray(imgs), cfg, jnp.asarray([[256, 256]] * 2))
+    sift = cv2.SIFT_create(nfeatures=1024)
+    for i in range(2):
+        kps_cv = sift.detect((imgs[i] * 255).astype(np.uint8), None)
+        cv_xy = np.array([k.pt for k in kps_cv])
+        ours = np.asarray(f.xy[i])[np.asarray(f.valid[i])]
+        assert len(ours) >= 50
+        d = np.sqrt(((ours[:, None] - cv_xy[None]) ** 2).sum(-1)).min(1)
+        # >=70% of our keypoints within 2px of a cv2 keypoint.
+        assert (d < 2.0).mean() > 0.7, (d < 2.0).mean()
+
+
+def test_essential_vs_cv2_on_synthetic():
+    """Our batched essential solver agrees with cv2.findEssentialMat."""
+    scene = make_orbit_scene(num_cameras=2, num_points=150, noise_px=0.5, seed=5, arc_fraction=0.12)
+    vis = scene.visible[0] & scene.visible[1]
+    uv1 = scene.pixels[0][vis].astype(np.float64)
+    uv2 = scene.pixels[1][vis].astype(np.float64)
+    K = np.array(
+        [[scene.intrinsics[0, 0], 0, scene.intrinsics[0, 2]],
+         [0, scene.intrinsics[0, 1], scene.intrinsics[0, 3]],
+         [0, 0, 1]]
+    )
+    E_cv, _ = cv2.findEssentialMat(uv1, uv2, K, method=cv2.RANSAC, threshold=2.0)
+    _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, uv1, uv2, K)
+
+    intr = jnp.asarray(scene.intrinsics[0])
+    x1 = pixel_to_camera(jnp.asarray(uv1, dtype=jnp.float32), intr)
+    x2 = pixel_to_camera(jnp.asarray(uv2, dtype=jnp.float32), intr)
+    E_ours = solvers.essential_minimal(x1, x2)
+    mask = jnp.ones(x1.shape[0], dtype=bool)
+    R_ours, t_ours, _ = solvers.decompose_essential(E_ours, x1, x2, mask)
+
+    # Both estimators carry their own ~0.3 deg error at 0.5px noise; parity
+    # means agreeing within the sum of those errors.
+    rot_err = np.degrees(np.arccos(np.clip((np.trace(np.asarray(R_ours).T @ R_cv) - 1) / 2, -1, 1)))
+    t_err = np.degrees(np.arccos(np.clip(abs(np.asarray(t_ours) @ t_cv[:, 0]), -1, 1)))
+    assert rot_err < 1.0, rot_err
+    assert t_err < 2.0, t_err
+
+
+def test_pnp_vs_cv2():
+    """Placeholder parity target for the PnP stage (filled in at M2)."""
+    pytest.skip("PnP lands with the incremental engine (M2)")
