@@ -1,0 +1,173 @@
+"""Benchmark harness — runs on the real TPU chip (default backend).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.md): image pairs matched per second per chip —
+the fused match stage (bf16 Gram matmul + top-2 ratio + mutual check) at
+production shapes. Secondary metrics (BA LM iterations/sec, feature
+extraction throughput) are recorded to benchmarks/latest.json.
+
+vs_baseline compares against the first recorded v5e measurement in
+_BASELINE_NUMBERS (BASELINE.md "Measured" table); the reference publishes no
+numbers (BASELINE.json `published` is empty).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# First measured numbers on the Axon v5e sim (2026-08-16), with the jnp
+# reference matcher and host-forced timing — see BASELINE.md "Measured".
+# vs_baseline therefore tracks the speedup of the optimized TPU path over the
+# framework's own reference implementation (the reference repo publishes no
+# numbers; BASELINE.json `published` is empty).
+#
+# Timing methodology: the axon runtime memoizes identical (executable,
+# inputs) pairs AND reports dispatch-pipelined completion through
+# block_until_ready, so every timed call uses fresh inputs and results are
+# forced to host before the clock stops.
+_BASELINE_NUMBERS = {
+    "pairs_per_sec_per_chip": 87.0,   # jnp matcher, host-forced
+    "ba_lm_iters_per_sec": None,
+    "features_imgs_per_sec": None,
+}
+
+# Production-ish shapes.
+_MATCH_P, _MATCH_N = 16, 4096         # pairs per block, keypoints per image
+_BA_CAMS, _BA_PTS, _BA_OBS_PER = 128, 16384, 8
+_FEAT_B, _FEAT_S = 4, 1024
+
+
+def bench_matching():
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.config import MatchConfig
+    from sfm_tpu.ops.match import match_block
+
+    cfg = MatchConfig(max_matches=1024)
+    rng = np.random.default_rng(0)
+
+    def mk():
+        d = rng.normal(size=(_MATCH_P, _MATCH_N, 128)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(d)
+
+    # Distinct pre-staged blocks per timed call: the axon runtime memoizes
+    # identical (executable, inputs) calls, so repeating one block times
+    # nothing. 6 blocks x P pairs, all device-resident before the clock.
+    n_blocks = 6
+    warm = (mk(), mk())
+    blocks = [(mk(), mk()) for _ in range(n_blocks)]
+    v = jnp.ones((_MATCH_P, _MATCH_N), dtype=bool)
+    out = match_block(warm[0], v, warm[1], v, cfg)             # compile
+    _ = np.asarray(out.valid)
+    t0 = time.perf_counter()
+    for di, dj in blocks:
+        out = match_block(di, v, dj, v, cfg)
+        _ = np.asarray(out.valid)   # force host materialization (see above)
+    dt = time.perf_counter() - t0
+    return (_MATCH_P * n_blocks) / dt
+
+
+def _make_ba_problem(seed: int):
+    import jax.numpy as jnp
+    from sfm_tpu.ba.problem import BAProblem
+
+    rng = np.random.default_rng(seed)
+    C, P = _BA_CAMS, _BA_PTS
+    O = P * _BA_OBS_PER
+    obs_point = np.repeat(np.arange(P, dtype=np.int32), _BA_OBS_PER)
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    return BAProblem(
+        cam_params=jnp.asarray(np.concatenate([rng.normal(0, 0.1, (C, 3)),
+                                               rng.normal(0, 1.0, (C, 3)) + [0, 0, 4]], 1).astype(np.float32)),
+        intrinsics=jnp.asarray(np.tile([800.0, 800, 512, 384, 0, 0], (C, 1)).astype(np.float32)),
+        points=jnp.asarray(rng.uniform(-1, 1, (P, 3)).astype(np.float32)),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(rng.uniform(0, 1024, (O, 2)).astype(np.float32)),
+        obs_w=jnp.ones(O, jnp.float32),
+        cam_fixed=jnp.asarray(np.arange(C) == 0),
+        point_fixed=jnp.zeros(P, bool),
+    )
+
+
+def bench_ba():
+    import jax
+    from sfm_tpu.config import BAConfig
+    from sfm_tpu.ba.core import bundle_adjust
+
+    # Fixed iteration count (no convergence exit) for a clean iters/sec
+    # number. The timed call uses DIFFERENT data than the warmup: the axon
+    # runtime memoizes identical (executable, inputs) calls, which would make
+    # a repeat-same-inputs timing meaningless.
+    cfg = BAConfig(max_iterations=20, cg_iterations=16, function_tolerance=0.0, robust_loss="huber")
+    out, _ = bundle_adjust(_make_ba_problem(1), cfg)     # compile + warm
+    _ = np.asarray(out.cam_params)
+    prob = _make_ba_problem(2)
+    t0 = time.perf_counter()
+    out, stats = bundle_adjust(prob, cfg)
+    _ = np.asarray(out.cam_params)   # force host materialization
+    dt = time.perf_counter() - t0
+    iters = int(stats.iterations)
+    return max(iters, 1) / dt
+
+
+def bench_features():
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.config import SiftConfig
+    from sfm_tpu.ops.sift import extract_features
+
+    cfg = SiftConfig(image_max_dim=_FEAT_S)
+    rng = np.random.default_rng(2)
+    hw = jnp.asarray(np.tile([[_FEAT_S, _FEAT_S]], (_FEAT_B, 1)).astype(np.int32))
+
+    def mk():
+        return jnp.asarray(rng.uniform(0, 1, (_FEAT_B, _FEAT_S, _FEAT_S)).astype(np.float32))
+
+    reps = 3
+    warm = mk()
+    batches = [mk() for _ in range(reps)]  # distinct inputs (memoization, see bench_ba)
+    f = extract_features(warm, cfg, hw)            # compile
+    _ = np.asarray(f.desc)
+    t0 = time.perf_counter()
+    for b in batches:
+        f = extract_features(b, cfg, hw)
+        _ = np.asarray(f.valid)   # force host materialization
+    dt = time.perf_counter() - t0
+    return (_FEAT_B * reps) / dt
+
+
+def main():
+    import jax
+
+    results = {
+        "pairs_per_sec_per_chip": bench_matching(),
+        "ba_lm_iters_per_sec": bench_ba(),
+        "features_imgs_per_sec": bench_features(),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/latest.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    value = results["pairs_per_sec_per_chip"]
+    base = _BASELINE_NUMBERS["pairs_per_sec_per_chip"]
+    vs = (value / base) if base else 1.0
+    print(json.dumps({
+        "metric": "pairs_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "image_pairs/s (N=4096 kp, 128-D, bf16 MXU)",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

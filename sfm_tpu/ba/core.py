@@ -43,6 +43,14 @@ from sfm_tpu.geometry.projection import project
 from sfm_tpu.ba.problem import BAProblem, CAM_DIM, PT_DIM
 
 
+def _maybe_psum(x, axis_name):
+    """Cross-shard reduction for the sharded-BA path (SURVEY.md §2.7):
+    observations are sharded by camera across the mesh, so every
+    segment-sum over observations needs a psum to complete; axis_name=None
+    is the single-chip path with zero overhead."""
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
 def _residual_one(cam: jnp.ndarray, point: jnp.ndarray, intr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return project(point, cam[:3], cam[3:6], intr) - uv
 
@@ -69,7 +77,7 @@ def residuals_and_jacobians(prob: BAProblem, cam_params: jnp.ndarray, points: jn
     return r * sqrt_w[:, None], Jc * sqrt_w[:, None, None], Jp * sqrt_w[:, None, None], sqrt_w
 
 
-def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig) -> jnp.ndarray:
+def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig, axis_name=None) -> jnp.ndarray:
     """Robustified mean cost over valid observations."""
     cams_o = cam_params[prob.obs_cam]
     pts_o = points[prob.obs_point]
@@ -77,7 +85,9 @@ def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, 
     r = jax.vmap(_residual_one)(cams_o, pts_o, intr_o, prob.obs_uv)
     s = jnp.sum(r * r, axis=-1)
     c = robust_cost(s, cfg.robust_loss, cfg.robust_scale_px) * prob.obs_w
-    return jnp.sum(c) / jnp.maximum(jnp.sum(prob.obs_w), 1.0)
+    num = _maybe_psum(jnp.sum(c), axis_name)
+    den = _maybe_psum(jnp.sum(prob.obs_w), axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def ba_cost(prob: BAProblem, cfg: BAConfig) -> jnp.ndarray:
@@ -116,7 +126,7 @@ def _sym_solve3(A: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     return inv * inv_det[..., None, None]
 
 
-def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig) -> _NormalEq:
+def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig, axis_name=None) -> _NormalEq:
     r, Jc, Jp, _ = residuals_and_jacobians(prob, cam_params, points, cfg)
     C = prob.num_cameras
     P = prob.num_points
@@ -129,10 +139,10 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     JcTJc = jnp.einsum("oai,oaj->oij", Jc, Jc)            # [O, 6, 6]
     JpTJp = jnp.einsum("oai,oaj->oij", Jp, Jp)            # [O, 3, 3]
     W = jnp.einsum("oai,oaj->oij", Jc, Jp)                # [O, 6, 3]
-    Hcc = jax.ops.segment_sum(JcTJc, prob.obs_cam, C)     # [C, 6, 6]
-    Hpp = jax.ops.segment_sum(JpTJp, prob.obs_point, P)   # [P, 3, 3]
-    bc = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C)
-    bp = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P)
+    Hcc = _maybe_psum(jax.ops.segment_sum(JcTJc, prob.obs_cam, C), axis_name)     # [C, 6, 6]
+    Hpp = _maybe_psum(jax.ops.segment_sum(JpTJp, prob.obs_point, P), axis_name)   # [P, 3, 3]
+    bc = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C), axis_name)
+    bp = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P), axis_name)
 
     # Multiplicative LM damping on block diagonals (Ceres-style), with an
     # absolute floor so padded/unconstrained blocks stay invertible.
@@ -146,31 +156,35 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
 
     # Schur-Jacobi preconditioner: exact block diagonal of S.
     WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
-    M = Hcc_d - jax.ops.segment_sum(WHW, prob.obs_cam, C)
+    M = Hcc_d - _maybe_psum(jax.ops.segment_sum(WHW, prob.obs_cam, C), axis_name)
     M = M + 1e-6 * eyec[None]
     M_inv = jnp.linalg.inv(M)
 
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv)
 
 
-def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray) -> jnp.ndarray:
-    """Implicit S @ v for v [C, 6] without materializing S."""
+def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None) -> jnp.ndarray:
+    """Implicit S @ v for v [C, 6] without materializing S.
+
+    Sharded mode: W blocks are local to each observation shard; the two
+    segment-sums complete across shards via psum (ne.Hcc/Hpp_inv and v are
+    replicated, so the CG iterates stay bitwise-identical on all shards)."""
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
-    g = jax.ops.segment_sum(u, prob.obs_point, prob.num_points)        # [P, 3]
+    g = _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
-    Wv = jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras)        # [C, 6]
+    Wv = _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
     return jnp.einsum("cij,cj->ci", ne.Hcc, v) - Wv
 
 
-def _schur_rhs(ne: _NormalEq, prob: BAProblem) -> jnp.ndarray:
+def _schur_rhs(ne: _NormalEq, prob: BAProblem, axis_name=None) -> jnp.ndarray:
     """rhs = bc - W Hpp^-1 bp."""
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, ne.bp)
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])
-    return ne.bc - jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras)
+    return ne.bc - _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
 
 
-def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig) -> jnp.ndarray:
+def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig, axis_name=None) -> jnp.ndarray:
     """Preconditioned CG on the reduced camera system. Fixed iteration cap,
     early termination by freezing updates once converged (static shapes)."""
 
@@ -186,7 +200,7 @@ def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig) -> jnp
 
     def body(_, state):
         x, r, p, rz = state
-        Ap = _schur_matvec(ne, prob, p)
+        Ap = _schur_matvec(ne, prob, p, axis_name)
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
         done = jnp.sqrt(jnp.sum(r * r)) / rhs_norm < cfg.cg_tolerance
         alpha = jnp.where(done, 0.0, alpha)
@@ -202,10 +216,10 @@ def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig) -> jnp
     return x
 
 
-def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray) -> jnp.ndarray:
+def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """dp = Hpp^-1 (bp - W^T dc)."""
     u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
-    g = ne.bp - jax.ops.segment_sum(u, prob.obs_point, prob.num_points)
+    g = ne.bp - _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
     return jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)
 
 
@@ -216,11 +230,10 @@ class BAStats(NamedTuple):
     lam: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def bundle_adjust(prob: BAProblem, cfg: BAConfig) -> tuple[BAProblem, BAStats]:
-    """Run LM to convergence (or cfg.max_iterations). Returns updated problem."""
+def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[BAProblem, BAStats]:
+    """LM driver shared by the single-chip and sharded paths."""
 
-    cost0 = compute_cost(prob, prob.cam_params, prob.points, cfg)
+    cost0 = compute_cost(prob, prob.cam_params, prob.points, cfg, axis_name)
 
     def cond(state):
         _, _, lam, it, done, _ = state
@@ -228,16 +241,16 @@ def bundle_adjust(prob: BAProblem, cfg: BAConfig) -> tuple[BAProblem, BAStats]:
 
     def body(state):
         cam_params, points, lam, it, _, cost = state
-        ne = build_normal_equations(prob, cam_params, points, lam, cfg)
-        rhs = _schur_rhs(ne, prob)
-        dc = _pcg(ne, prob, rhs, cfg)
-        dp = _back_substitute(ne, prob, dc)
+        ne = build_normal_equations(prob, cam_params, points, lam, cfg, axis_name)
+        rhs = _schur_rhs(ne, prob, axis_name)
+        dc = _pcg(ne, prob, rhs, cfg, axis_name)
+        dp = _back_substitute(ne, prob, dc, axis_name)
         dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
         dp = jnp.where(prob.point_fixed[:, None], 0.0, dp)
 
         new_cams = cam_params + dc
         new_points = points + dp
-        new_cost = compute_cost(prob, new_cams, new_points, cfg)
+        new_cost = compute_cost(prob, new_cams, new_points, cfg, axis_name)
 
         accept = new_cost < cost
         cam_params = jnp.where(accept, new_cams, cam_params)
@@ -258,3 +271,9 @@ def bundle_adjust(prob: BAProblem, cfg: BAConfig) -> tuple[BAProblem, BAStats]:
 
     out = prob._replace(cam_params=cam_params, points=points)
     return out, BAStats(initial_cost=cost0, final_cost=cost, iterations=it, lam=lam)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bundle_adjust(prob: BAProblem, cfg: BAConfig) -> tuple[BAProblem, BAStats]:
+    """Single-chip LM to convergence (or cfg.max_iterations)."""
+    return bundle_adjust_impl(prob, cfg, axis_name=None)

@@ -42,7 +42,13 @@ class BAProblem(NamedTuple):
 
 
 def _round_up(n: int, m: int) -> int:
-    return ((max(n, 1) + m - 1) // m) * m
+    """Round n up to m * 2^k — geometric capacity buckets so the incremental
+    engine triggers only O(log) BA recompiles as the scene grows."""
+    cap = m
+    n = max(n, 1)
+    while cap < n:
+        cap *= 2
+    return cap
 
 
 def build_problem(

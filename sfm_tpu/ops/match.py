@@ -92,8 +92,19 @@ def match_block(
     desc_j: jnp.ndarray, valid_j: jnp.ndarray,
     cfg: MatchConfig,
 ) -> PairMatches:
-    """Match a block of pairs: desc_i/desc_j [P, N, 128], valid [P, N]."""
-    idx_a, idx_b, ok = jax.vmap(lambda a, vaa, b, vbb: match_pair(a, vaa, b, vbb, cfg))(
-        desc_i, valid_i, desc_j, valid_j
-    )
+    """Match a block of pairs: desc_i/desc_j [P, N, 128], valid [P, N].
+
+    On TPU with cfg.use_pallas, the fused match+top-2 kernel replaces the
+    materialized distance matrix (sfm_tpu/kernels/match_topk.py); the jnp
+    path is the reference implementation and the CPU fallback.
+    """
+    from sfm_tpu.kernels import on_tpu
+
+    if cfg.use_pallas and on_tpu() and desc_i.shape[1] % 256 == 0:
+        from sfm_tpu.kernels.match_topk import match_pair_pallas
+
+        pair_fn = lambda a, vaa, b, vbb: match_pair_pallas(a, vaa, b, vbb, cfg)
+    else:
+        pair_fn = lambda a, vaa, b, vbb: match_pair(a, vaa, b, vbb, cfg)
+    idx_a, idx_b, ok = jax.vmap(pair_fn)(desc_i, valid_i, desc_j, valid_j)
     return PairMatches(idx_i=idx_a, idx_j=idx_b, valid=ok)

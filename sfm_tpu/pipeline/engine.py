@@ -1,0 +1,334 @@
+"""Incremental reconstruction engine (SURVEY.md §2.5, §3.4).
+
+Host-driven outer loop (the register -> triangulate -> local-BA ->
+periodic-global-BA cycle is data-dependent by nature), device inner steps
+(PnP RANSAC, masked-DLT triangulation, Schur-LM bundle adjustment). All
+device calls use geometrically-bucketed capacities so the number of jit
+compiles is O(log scene size), never O(registrations).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import PipelineConfig
+from sfm_tpu.geometry.cameras import pixel_to_camera
+from sfm_tpu.geometry.rotations import so3_exp
+from sfm_tpu.ops.pnp import pnp_ransac
+from sfm_tpu.ops.triangulate import triangulate_tracks
+from sfm_tpu.ba import build_problem, writeback, bundle_adjust
+from sfm_tpu.pipeline.stages import FeatureSet, MatchGraph
+from sfm_tpu.scene.tracks import build_tracks, TrackSet
+from sfm_tpu.scene.state import Reconstruction
+
+_PNP_CAP = 2048      # 2D-3D correspondence budget per registration
+_TRI_VIEW_CAP = 8    # observations used per track triangulation
+
+
+def _bucket(n: int, base: int = 256) -> int:
+    cap = base
+    n = max(n, 1)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@dataclass
+class EngineState:
+    """Mutable host-side scene bookkeeping during incremental SfM."""
+
+    feats: FeatureSet
+    tracks: TrackSet
+    intrinsics: np.ndarray           # [B, 6]
+    rvecs: np.ndarray                # [B, 3]
+    tvecs: np.ndarray                # [B, 3]
+    registered: np.ndarray           # [B] bool
+    failed: np.ndarray               # [B] bool (PnP failed; retry later)
+    track_point: np.ndarray          # [T] int32 point id or -1
+    points: list = field(default_factory=list)        # growable [*, 3]
+    point_valid: list = field(default_factory=list)
+    obs_alive: np.ndarray = None     # [O] per track-observation row
+
+    def materialize(self) -> Reconstruction:
+        """Snapshot as a Reconstruction (active obs only)."""
+        pts = np.asarray(self.points, np.float32).reshape(-1, 3)
+        pv = np.asarray(self.point_valid, bool).reshape(-1)
+        tr = self.tracks
+        has_pt = self.track_point[tr.track_id] >= 0
+        act = self.obs_alive & self.registered[tr.obs_image] & has_pt
+        act &= np.where(has_pt, pv[np.maximum(self.track_point[tr.track_id], 0)], False)
+        rows = np.where(act)[0]
+        return Reconstruction(
+            intrinsics=self.intrinsics,
+            rvecs=self.rvecs,
+            tvecs=self.tvecs,
+            registered=self.registered.copy(),
+            points=pts,
+            point_errors=np.zeros(len(pts), np.float32),
+            point_valid=pv,
+            obs_point=self.track_point[tr.track_id[rows]].astype(np.int32),
+            obs_image=tr.obs_image[rows].astype(np.int32),
+            obs_kp=tr.obs_kp[rows].astype(np.int32),
+            obs_uv=self._uv(rows),
+        )
+
+    def _uv(self, rows: np.ndarray) -> np.ndarray:
+        return self.feats.xy[self.tracks.obs_image[rows], self.tracks.obs_kp[rows]].astype(np.float32)
+
+
+def select_init_pair(graph: MatchGraph, cfg: PipelineConfig) -> int | None:
+    """Best bootstrap edge: many inliers, not homography-degenerate
+    (SURVEY.md §2.5 init-pair selection)."""
+    ok = graph.ok.copy()
+    h_ratio = graph.num_h_inliers / np.maximum(graph.num_inliers, 1)
+    ok &= graph.num_inliers >= cfg.engine.init_min_inliers
+    ok &= h_ratio <= cfg.engine.init_max_h_ratio
+    if not ok.any():
+        # Fallback: relax the inlier bar but keep the degeneracy gate.
+        ok = graph.ok & (h_ratio <= cfg.engine.init_max_h_ratio)
+        if not ok.any():
+            return None
+    score = np.where(ok, graph.num_inliers * (1.0 - 0.5 * h_ratio), -1)
+    return int(np.argmax(score))
+
+
+def _register_bootstrap(st: EngineState, graph: MatchGraph, edge: int, cfg: PipelineConfig):
+    i, j = graph.pairs[edge]
+    st.rvecs[i] = 0.0
+    st.tvecs[i] = 0.0
+    st.rvecs[j] = graph.rvec[edge]
+    st.tvecs[j] = graph.tvec[edge]
+    st.registered[i] = st.registered[j] = True
+
+
+def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int:
+    """Triangulate tracks seen by >=2 registered images that lack a point."""
+    tr = st.tracks
+    reg_obs = st.obs_alive & st.registered[tr.obs_image]
+    seen = np.bincount(tr.track_id[reg_obs], minlength=tr.num_tracks)
+    cand = np.where((seen >= 2) & (st.track_point < 0))[0]
+    if len(cand) == 0:
+        return 0
+
+    T_cap = _bucket(len(cand))
+    V = _TRI_VIEW_CAP
+    rvecs = np.zeros((T_cap, V, 3), np.float32)
+    tvecs = np.zeros((T_cap, V, 3), np.float32)
+    xy = np.zeros((T_cap, V, 2), np.float32)
+    mask = np.zeros((T_cap, V), bool)
+
+    # Gather up to V registered observations per candidate track.
+    order = np.argsort(tr.track_id, kind="stable")
+    rows_by_track = {}
+    for r in order:
+        if reg_obs[r]:
+            rows_by_track.setdefault(tr.track_id[r], []).append(r)
+    intr_all = st.intrinsics
+    for ti, t in enumerate(cand):
+        rows = rows_by_track.get(t, [])[:V]
+        for vi, r in enumerate(rows):
+            img = tr.obs_image[r]
+            rvecs[ti, vi] = st.rvecs[img]
+            tvecs[ti, vi] = st.tvecs[img]
+            uv = st.feats.xy[img, tr.obs_kp[r]]
+            f = (intr_all[img, 0] + intr_all[img, 1]) * 0.5
+            xy[ti, vi] = np.asarray(
+                pixel_to_camera(jnp.asarray(uv), jnp.asarray(intr_all[img]))
+            )
+            mask[ti, vi] = True
+
+    f_mean = float(np.mean(st.intrinsics[st.registered, 0]))
+    res = triangulate_tracks(
+        jnp.asarray(rvecs), jnp.asarray(tvecs), jnp.asarray(xy), jnp.asarray(mask),
+        min_angle_deg=cfg.engine.min_triangulation_angle_deg,
+        max_error_norm=cfg.engine.max_reprojection_error_px / f_mean,
+    )
+    valid = np.asarray(res.valid)[: len(cand)]
+    pts = np.asarray(res.points)[: len(cand)]
+    n_new = 0
+    for ti, t in enumerate(cand):
+        if valid[ti]:
+            st.track_point[t] = len(st.points)
+            st.points.append(pts[ti])
+            st.point_valid.append(True)
+            n_new += 1
+    return n_new
+
+
+def _pnp_register(st: EngineState, img: int, cfg: PipelineConfig, key) -> bool:
+    tr = st.tracks
+    rows = np.where((tr.obs_image == img) & st.obs_alive)[0]
+    rows = rows[st.track_point[tr.track_id[rows]] >= 0]
+    if len(rows) < cfg.engine.abs_pose_min_inliers:
+        return False
+    pts_arr = np.asarray(st.points, np.float32).reshape(-1, 3)
+    pv = np.asarray(st.point_valid, bool)
+    pids = st.track_point[tr.track_id[rows]]
+    keep = pv[pids]
+    rows, pids = rows[keep], pids[keep]
+    if len(rows) < cfg.engine.abs_pose_min_inliers:
+        return False
+    rows = rows[:_PNP_CAP]
+    pids = pids[:_PNP_CAP]
+
+    X = np.zeros((_PNP_CAP, 3), np.float32)
+    uv = np.zeros((_PNP_CAP, 2), np.float32)
+    mask = np.zeros(_PNP_CAP, bool)
+    X[: len(rows)] = pts_arr[pids]
+    uv_pix = st.feats.xy[img, tr.obs_kp[rows]]
+    uv[: len(rows)] = np.asarray(pixel_to_camera(jnp.asarray(uv_pix), jnp.asarray(st.intrinsics[img])))
+    mask[: len(rows)] = True
+
+    f = (st.intrinsics[img, 0] + st.intrinsics[img, 1]) * 0.5
+    thr = (cfg.engine.abs_pose_error_px / f) ** 2
+    pose, inl, n, ok = pnp_ransac(
+        key, jnp.asarray(X), jnp.asarray(uv), jnp.asarray(mask),
+        num_hypotheses=cfg.ransac.num_hypotheses,
+        threshold_sq=thr,
+        min_inliers=cfg.engine.abs_pose_min_inliers,
+    )
+    if not bool(ok):
+        return False
+    st.rvecs[img] = np.asarray(pose[:3])
+    st.tvecs[img] = np.asarray(pose[3:])
+    st.registered[img] = True
+    # Kill the outlier 2D-3D links so they don't poison BA.
+    bad = rows[~np.asarray(inl)[: len(rows)]]
+    st.obs_alive[bad] = False
+    return True
+
+
+def _run_ba(st: EngineState, cfg: PipelineConfig, free_cams=None) -> None:
+    rec = st.materialize()
+    if rec.num_observations < 8 or rec.num_points < 4:
+        return
+    prob, cams, pids = build_problem(rec, free_cams=free_cams)
+    out, stats = bundle_adjust(prob, cfg.ba)
+    writeback(rec, out, cams, pids)
+    st.rvecs[:] = rec.rvecs
+    st.tvecs[:] = rec.tvecs
+    pts = np.asarray(st.points, np.float32).reshape(-1, 3)
+    pts[pids] = rec.points[pids]
+    st.points = list(pts)
+
+
+def _filter_observations(st: EngineState, cfg: PipelineConfig) -> int:
+    """Drop observations above the reprojection gate; invalidate starved points."""
+    rec = st.materialize()
+    if rec.num_observations == 0:
+        return 0
+    err = rec.reprojection_errors()
+    bad = err > cfg.engine.max_reprojection_error_px
+    # Map back to track rows: materialize() selected rows in order.
+    tr = st.tracks
+    has_pt = st.track_point[tr.track_id] >= 0
+    pv = np.asarray(st.point_valid, bool)
+    act = st.obs_alive & st.registered[tr.obs_image] & has_pt
+    act &= np.where(has_pt, pv[np.maximum(st.track_point[tr.track_id], 0)], False)
+    rows = np.where(act)[0]
+    st.obs_alive[rows[bad]] = False
+
+    # Points need >=2 alive registered observations.
+    alive = st.obs_alive & st.registered[tr.obs_image]
+    counts = np.bincount(
+        st.track_point[tr.track_id[alive]][st.track_point[tr.track_id[alive]] >= 0],
+        minlength=len(st.point_valid),
+    )
+    starved = counts < 2
+    pv = np.asarray(st.point_valid, bool)
+    newly = pv & starved
+    for p in np.where(newly)[0]:
+        st.point_valid[p] = False
+    # Allow re-triangulation of their tracks later.
+    st.track_point[np.isin(st.track_point, np.where(newly)[0])] = -1
+    return int(bad.sum())
+
+
+def incremental_reconstruct(
+    feats: FeatureSet, graph: MatchGraph, intrinsics: np.ndarray, cfg: PipelineConfig
+) -> Reconstruction:
+    B, N = feats.valid.shape
+    tracks = build_tracks(graph, B, N)
+    if tracks.num_tracks == 0:
+        raise RuntimeError("no tracks: match/verify produced no usable edges")
+
+    st = EngineState(
+        feats=feats,
+        tracks=tracks,
+        intrinsics=intrinsics.copy(),
+        rvecs=np.zeros((B, 3), np.float32),
+        tvecs=np.zeros((B, 3), np.float32),
+        registered=np.zeros(B, bool),
+        failed=np.zeros(B, bool),
+        track_point=-np.ones(tracks.num_tracks, np.int32),
+        obs_alive=np.ones(len(tracks.obs_image), bool),
+    )
+
+    edge = select_init_pair(graph, cfg)
+    if edge is None:
+        raise RuntimeError("no valid initial pair")
+    _register_bootstrap(st, graph, edge, cfg)
+    _triangulate_new(st, cfg, cfg.verbose)
+    _run_ba(st, cfg)  # two-view BA
+    if cfg.verbose:
+        print(f"[sfm_tpu] bootstrap edge {graph.pairs[edge]}: {len(st.points)} points")
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    recent: list[int] = list(graph.pairs[edge])
+    since_global = 0
+    retries_left = 2
+    while True:
+        # Rank unregistered images by visible triangulated points.
+        tr = st.tracks
+        vis_rows = st.obs_alive & (st.track_point[tr.track_id] >= 0)
+        cand_imgs = tr.obs_image[vis_rows]
+        counts = np.bincount(cand_imgs, minlength=B)
+        counts[st.registered | st.failed] = 0
+        order = np.argsort(-counts)
+        progressed = False
+        for img in order[:5]:
+            if counts[img] < cfg.engine.abs_pose_min_inliers:
+                break
+            key, sub = jax.random.split(key)
+            if _pnp_register(st, int(img), cfg, sub):
+                progressed = True
+                recent.append(int(img))
+                n_new = _triangulate_new(st, cfg, cfg.verbose)
+                window = recent[-cfg.engine.local_ba_window:]
+                _run_ba(st, cfg, free_cams=np.asarray(window))
+                if cfg.engine.filter_every and (len(recent) % cfg.engine.filter_every == 0):
+                    _filter_observations(st, cfg)
+                since_global += 1
+                if since_global >= cfg.engine.global_ba_every:
+                    _run_ba(st, cfg)
+                    _filter_observations(st, cfg)
+                    _triangulate_new(st, cfg, cfg.verbose)
+                    since_global = 0
+                if cfg.verbose:
+                    pv = np.asarray(st.point_valid, bool)
+                    print(
+                        f"[sfm_tpu] registered image {img}: +{n_new} pts, "
+                        f"{int(st.registered.sum())}/{B} cams, {int(pv.sum())} pts"
+                    )
+                break
+            else:
+                st.failed[img] = True
+        if not progressed:
+            # Bounded retry rounds: failed images get another chance once the
+            # map has grown (SURVEY.md §2.5 retriangulation/retry policy).
+            if retries_left > 0 and st.failed.any() and st.registered.sum() > 2:
+                retries_left -= 1
+                st.failed[:] = False
+                continue
+            break
+
+    # Final polish: global BA + filter + last retriangulation + BA.
+    _run_ba(st, cfg)
+    _filter_observations(st, cfg)
+    _triangulate_new(st, cfg, cfg.verbose)
+    _run_ba(st, cfg)
+    return st.materialize()

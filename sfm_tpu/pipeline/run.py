@@ -19,8 +19,23 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
     with timer.stage("ingest"):
         batch = ingest.load_images(images, cfg.sift)
 
+    # Stage artifact cache (SURVEY.md §5.4): resume from completed stages.
+    store = None
+    key = None
+    if cfg.artifact_dir:
+        from sfm_tpu.config import config_hash
+        from sfm_tpu.scene.artifacts import ArtifactStore, input_hash
+
+        store = ArtifactStore(cfg.artifact_dir)
+        key = config_hash(cfg) + "-" + input_hash(batch.canvases, batch.names)
+
     with timer.stage("features"):
-        feats = stages.extract_stage(batch, cfg)
+        if store and store.is_complete("features", key):
+            feats = store.load_features()
+        else:
+            feats = stages.extract_stage(batch, cfg)
+            if store:
+                store.save_features(key, feats)
 
     with timer.stage("pairs"):
         if cfg.pair_mode == "exhaustive":
@@ -33,10 +48,17 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             raise ValueError(f"unknown pair_mode: {cfg.pair_mode}")
 
     with timer.stage("match+verify"):
-        graph = stages.match_and_verify_stage(feats, pairs, batch.intrinsics, cfg, seed=cfg.seed)
+        if store and store.is_complete("matches", key):
+            graph = store.load_graph()
+        else:
+            graph = stages.match_and_verify_stage(feats, pairs, batch.intrinsics, cfg, seed=cfg.seed)
+            if store:
+                store.save_graph(key, graph)
 
     num_images = len(batch.canvases)
-    if num_images == 2:
+    if store and store.is_complete("reconstruction", key):
+        rec = store.load_reconstruction()
+    elif num_images == 2:
         with timer.stage("two_view"):
             ok_edges = np.where(graph.ok)[0]
             if len(ok_edges) == 0:
@@ -46,9 +68,16 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             rec = bootstrap_two_view(feats, graph, int(ok_edges[0]), batch.intrinsics, cfg)
     else:
         with timer.stage("incremental"):
-            from sfm_tpu.pipeline.engine import incremental_reconstruct
+            if cfg.partition.enabled:
+                from sfm_tpu.pipeline.partition import partitioned_reconstruct
 
-            rec = incremental_reconstruct(feats, graph, batch.intrinsics, cfg)
+                rec = partitioned_reconstruct(feats, graph, batch.intrinsics, cfg)
+            else:
+                from sfm_tpu.pipeline.engine import incremental_reconstruct
+
+                rec = incremental_reconstruct(feats, graph, batch.intrinsics, cfg)
+    if store and not store.is_complete("reconstruction", key):
+        store.save_reconstruction(key, rec)
 
     rec.image_names = batch.names
     if cfg.verbose:

@@ -48,7 +48,55 @@ class _UnionFind:
 
 
 def build_tracks(graph: MatchGraph, num_images: int, max_kp: int, min_length: int = 2) -> TrackSet:
-    """Union-find over inlier correspondences of verified edges."""
+    """Union-find over inlier correspondences of verified edges.
+
+    Dispatches to the native C++ builder (sfm_tpu/native/tracks.cpp) when
+    available — at large-scale match graphs the Python loop is the
+    bottleneck of the whole host side; falls back to pure Python otherwise.
+    """
+    from sfm_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _build_tracks_native(lib, graph, num_images, max_kp, min_length)
+    return _build_tracks_python(graph, num_images, max_kp, min_length)
+
+
+def _build_tracks_native(lib, graph: MatchGraph, num_images: int, max_kp: int, min_length: int) -> TrackSet:
+    import ctypes
+
+    pairs = np.ascontiguousarray(graph.pairs, dtype=np.int32)
+    ok = np.ascontiguousarray(graph.ok, dtype=np.uint8)
+    idx_i = np.ascontiguousarray(graph.idx_i, dtype=np.int32)
+    idx_j = np.ascontiguousarray(graph.idx_j, dtype=np.int32)
+    inlier = np.ascontiguousarray(graph.inlier, dtype=np.uint8)
+    E, M = idx_i.shape if idx_i.ndim == 2 else (0, 0)
+
+    cap = int(inlier.sum()) * 2 + 16
+    obs_image = np.empty(cap, np.int32)
+    obs_kp = np.empty(cap, np.int32)
+    track_id = np.empty(cap, np.int32)
+    n_tracks = ctypes.c_int64(0)
+
+    rows = lib.sfm_build_tracks(
+        pairs.ctypes.data, ok.ctypes.data,
+        idx_i.ctypes.data, idx_j.ctypes.data, inlier.ctypes.data,
+        E, M, num_images, max_kp, min_length,
+        obs_image.ctypes.data, obs_kp.ctypes.data, track_id.ctypes.data,
+        cap, ctypes.byref(n_tracks),
+    )
+    if rows < 0:
+        raise RuntimeError("native track builder: output capacity underestimated")
+    return TrackSet(
+        obs_image=obs_image[:rows].copy(),
+        obs_kp=obs_kp[:rows].copy(),
+        track_id=track_id[:rows].copy(),
+        num_tracks=int(n_tracks.value),
+    )
+
+
+def _build_tracks_python(graph: MatchGraph, num_images: int, max_kp: int, min_length: int = 2) -> TrackSet:
+    """Pure-Python reference implementation (and no-toolchain fallback)."""
     uf = _UnionFind(num_images * max_kp)
 
     def node(img, kp):

@@ -1,0 +1,58 @@
+"""Config ladder #5 machinery: divide-and-conquer partition + merge
+(SURVEY.md §2.7) on a synthetic ring, validated against ground truth.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.config import PipelineConfig, EngineConfig, RansacConfig, BAConfig, PartitionConfig
+from sfm_tpu.geometry.similarity import umeyama, apply_sim3
+from sfm_tpu.geometry.projection import camera_center
+from sfm_tpu.pipeline.partition import partition_images, partitioned_reconstruct
+from sfm_tpu.utils.synthetic import make_orbit_scene
+from tests.integration.test_incremental import scene_to_features_and_graph
+
+
+@pytest.fixture(scope="module")
+def ring24():
+    scene = make_orbit_scene(num_cameras=24, num_points=200, noise_px=0.0, seed=20, arc_fraction=1.0)
+    feats, graph = scene_to_features_and_graph(scene, max_kp=220, noise=0.3, seed=21)
+    return scene, feats, graph
+
+
+def test_partition_covers_all_images(ring24):
+    scene, feats, graph = ring24
+    clusters = partition_images(graph, 24, target_size=10, overlap=4)
+    covered = np.unique(np.concatenate(clusters))
+    assert len(covered) == 24
+    assert all(len(c) <= 14 for c in clusters)
+    # Overlap exists between at least one pair of clusters.
+    if len(clusters) > 1:
+        inter = set(clusters[0].tolist()) & set(np.concatenate(clusters[1:]).tolist())
+        assert len(inter) >= 1
+
+
+def test_partitioned_reconstruction_matches_gt(ring24):
+    scene, feats, graph = ring24
+    cfg = PipelineConfig(
+        engine=EngineConfig(local_ba_window=5, global_ba_every=6),
+        ransac=RansacConfig(num_hypotheses=512),
+        ba=BAConfig(max_iterations=20),
+        partition=PartitionConfig(enabled=True, target_cluster_size=10, overlap_cameras=4),
+        verbose=False,
+    )
+    rec = partitioned_reconstruct(feats, graph, scene.intrinsics.copy(), cfg)
+    assert rec.num_registered >= 22  # allow a failure or two at cluster seams
+    assert rec.mean_reprojection_error() < 0.8
+
+    reg = np.where(rec.registered)[0]
+    est = np.stack([
+        np.asarray(camera_center(jnp.asarray(rec.rvecs[i]), jnp.asarray(rec.tvecs[i]))) for i in reg
+    ])
+    gt = np.stack([
+        np.asarray(camera_center(jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]))) for i in reg
+    ])
+    s, R, t = umeyama(jnp.asarray(est), jnp.asarray(gt))
+    rmse = np.sqrt(((np.asarray(apply_sim3(s, R, t, jnp.asarray(est))) - gt) ** 2).sum(-1).mean())
+    assert rmse < 0.08, rmse  # 2% of orbit radius
