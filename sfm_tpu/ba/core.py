@@ -52,6 +52,11 @@ def _maybe_psum(x, axis_name):
 
 
 def _residual_one(cam: jnp.ndarray, point: jnp.ndarray, intr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """cam is [6] (pose only) or [8] (pose + focal log-scale + k1 delta);
+    the width is static at trace time (config-switched, SURVEY.md §2.6)."""
+    if cam.shape[-1] >= 8:
+        s = jnp.exp(cam[6])
+        intr = intr.at[0].mul(s).at[1].mul(s).at[4].add(cam[7])
     return project(point, cam[:3], cam[3:6], intr) - uv
 
 
@@ -146,7 +151,7 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
 
     # Multiplicative LM damping on block diagonals (Ceres-style), with an
     # absolute floor so padded/unconstrained blocks stay invertible.
-    eyec = jnp.eye(CAM_DIM)
+    eyec = jnp.eye(cam_params.shape[-1])
     eyep = jnp.eye(PT_DIM)
     dc = jnp.einsum("cii->ci", Hcc)
     dp = jnp.einsum("pii->pi", Hpp)
@@ -247,6 +252,13 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
         dp = _back_substitute(ne, prob, dc, axis_name)
         dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
         dp = jnp.where(prob.point_fixed[:, None], 0.0, dp)
+        if prob.cam_params.shape[-1] >= 8:
+            # Config-switched intrinsics refinement: freeze whichever of
+            # (focal, k1) the config does not ask to refine.
+            if not cfg.refine_focal:
+                dc = dc.at[:, 6].set(0.0)
+            if not cfg.refine_distortion:
+                dc = dc.at[:, 7].set(0.0)
 
         new_cams = cam_params + dc
         new_points = points + dp

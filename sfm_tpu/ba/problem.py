@@ -9,7 +9,8 @@ import jax.numpy as jnp
 
 from sfm_tpu.scene.state import Reconstruction
 
-CAM_DIM = 6   # rvec(3) + tvec(3); intrinsics refinement widens this later
+CAM_DIM = 6   # rvec(3) + tvec(3); +2 (log-focal-scale, dk1) when refining intrinsics
+CAM_DIM_INTR = 8
 PT_DIM = 3
 
 
@@ -57,12 +58,16 @@ def build_problem(
     free_cams: np.ndarray | None = None,
     obs_capacity: int | None = None,
     point_capacity: int | None = None,
+    refine_intrinsics: bool = False,
 ) -> tuple[BAProblem, np.ndarray, np.ndarray]:
     """Extract a BA problem from the reconstruction.
 
     cam_indices: global image ids to include (default: all registered).
     free_cams: subset of cam_indices that are optimized (default: all but
       the first, which anchors the gauge).
+    refine_intrinsics: widen the camera block to 8 — the extra params are
+      (focal log-scale, k1 delta), applied on top of the stored intrinsics
+      (SURVEY.md §2.6 intrinsics refinement; config-switched block width).
     Returns (problem, cam_indices, point_ids) where point_ids maps local
     point rows back to reconstruction point ids.
     """
@@ -104,10 +109,11 @@ def build_problem(
         free_set = set(int(i) for i in free_cams)
         fixed = np.array([int(g) not in free_set for g in cam_indices])
 
+    cp = np.concatenate([rec.rvecs[cam_indices], rec.tvecs[cam_indices]], axis=1)
+    if refine_intrinsics:
+        cp = np.concatenate([cp, np.zeros((len(cam_indices), 2))], axis=1)
     prob = BAProblem(
-        cam_params=jnp.asarray(
-            np.concatenate([rec.rvecs[cam_indices], rec.tvecs[cam_indices]], axis=1).astype(np.float32)
-        ),
+        cam_params=jnp.asarray(cp.astype(np.float32)),
         intrinsics=jnp.asarray(rec.intrinsics[cam_indices].astype(np.float32)),
         points=jnp.asarray(points),
         obs_cam=jnp.asarray(obs_cam),
@@ -125,5 +131,10 @@ def writeback(rec: Reconstruction, prob: BAProblem, cam_indices: np.ndarray, poi
     cp = np.asarray(prob.cam_params)
     rec.rvecs[cam_indices] = cp[:, :3]
     rec.tvecs[cam_indices] = cp[:, 3:6]
+    if cp.shape[1] >= CAM_DIM_INTR:
+        scale = np.exp(cp[:, 6])
+        rec.intrinsics[cam_indices, 0] *= scale
+        rec.intrinsics[cam_indices, 1] *= scale
+        rec.intrinsics[cam_indices, 4] += cp[:, 7]
     pts = np.asarray(prob.points)[: len(point_ids)]
     rec.points[point_ids] = pts

@@ -32,6 +32,7 @@ class SiftConfig:
     refine_iters: int = 3               # subpixel quadratic-fit iterations
     num_orientation_bins: int = 36
     orientation_peak_ratio: float = 0.8
+    multi_orientation: bool = True      # duplicate keypoints at secondary peaks
     descriptor_patch_radius: int = 8    # half-width of sampling lattice (4x4 cells)
     root_sift: bool = False
     image_max_dim: int = 1024           # resize cap on the long side
@@ -49,6 +50,9 @@ class MatchConfig:
     block_pairs: int = 32               # pairs per device batch
     use_bf16_matmul: bool = True        # descriptors in bf16 on the MXU
     use_pallas: bool = True             # fused tiled matmul+top2 kernel
+    guided: bool = False                # epipolar-gated re-match after verification
+    guided_ratio: float = 0.9           # relaxed ratio inside the epipolar band
+    guided_band_px: float = 3.0         # epipolar gate half-width
 
 
 @dataclass(frozen=True)

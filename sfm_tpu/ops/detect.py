@@ -62,7 +62,14 @@ def find_extrema(dog: jnp.ndarray, cfg: SiftConfig, k_budget: int) -> tuple[jnp.
         & (xx >= margin) & (xx < W - margin)
     )
     score = jnp.where(is_ext & interior, jnp.abs(dog), 0.0)
-    vals, idx = jax.lax.top_k(score.reshape(-1), k_budget)
+    flat = score.reshape(-1)
+    if jax.default_backend() == "tpu":
+        # approx_max_k is the TPU-native top-k (single pass over tiles);
+        # exact recall doesn't matter for candidate selection — missed
+        # near-threshold extrema are the weakest candidates anyway.
+        vals, idx = jax.lax.approx_max_k(flat, k_budget, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(flat, k_budget)
     return idx, vals
 
 
@@ -203,19 +210,38 @@ def assign_orientation(kps: OctaveKeypoints, dx_stack: jnp.ndarray, dy_stack: jn
             + (jnp.roll(hist, 2, -1) + jnp.roll(hist, -2, -1))
         ) / 16.0
 
-    peak = jnp.argmax(hist, axis=-1)
-    hp = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
-    hl = jnp.take_along_axis(hist, ((peak - 1) % nb)[:, None], 1)[:, 0]
-    hr = jnp.take_along_axis(hist, ((peak + 1) % nb)[:, None], 1)[:, 0]
-    denom = hl - 2.0 * hp + hr
-    interp = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (hl - hr) / denom, 0.0)
-    angle = ((peak.astype(jnp.float32) + interp) / nb) * 2.0 * jnp.pi
-    angle = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
-    return kps._replace(angle=angle)
+    def peak_angle(h, peak):
+        hp = jnp.take_along_axis(h, peak[:, None], 1)[:, 0]
+        hl = jnp.take_along_axis(h, ((peak - 1) % nb)[:, None], 1)[:, 0]
+        hr = jnp.take_along_axis(h, ((peak + 1) % nb)[:, None], 1)[:, 0]
+        denom = hl - 2.0 * hp + hr
+        interp = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (hl - hr) / denom, 0.0)
+        angle = ((peak.astype(jnp.float32) + interp) / nb) * 2.0 * jnp.pi
+        return jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle), hp
+
+    peak1 = jnp.argmax(hist, axis=-1)
+    angle1, h1 = peak_angle(hist, peak1)
+
+    # Second orientation (Lowe's multi-orientation rule): the strongest
+    # remaining LOCAL peak with height >= peak_ratio * max spawns a duplicate
+    # keypoint (emitted by the caller with `angle2`/`valid2`).
+    is_local_peak = (hist >= jnp.roll(hist, 1, -1)) & (hist >= jnp.roll(hist, -1, -1))
+    masked = jnp.where(is_local_peak, hist, -1.0)
+    masked = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, hist.shape, 1) == peak1[:, None], -1.0, masked
+    )
+    peak2 = jnp.argmax(masked, axis=-1)
+    angle2, h2 = peak_angle(hist, peak2)
+    valid2 = (h2 >= cfg.orientation_peak_ratio * h1) & (jnp.take_along_axis(masked, peak2[:, None], 1)[:, 0] > 0)
+    return kps._replace(angle=angle1), angle2, valid2
 
 
-def detect_octave(dog: jnp.ndarray, dx_stack: jnp.ndarray, dy_stack: jnp.ndarray, cfg: SiftConfig, k_budget: int) -> OctaveKeypoints:
-    """Full single-octave detection: extrema -> refine -> orientation."""
+def detect_octave(dog: jnp.ndarray, dx_stack: jnp.ndarray, dy_stack: jnp.ndarray, cfg: SiftConfig, k_budget: int):
+    """Full single-octave detection: extrema -> refine -> orientation.
+
+    Returns (keypoints, second orientation angles [K], second-orientation
+    validity [K]) — the caller duplicates rows for multi-orientation
+    keypoints (Lowe's 0.8-peak rule)."""
     idx, scores = find_extrema(dog, cfg, k_budget)
     kps = refine_candidates(dog, idx, scores, cfg)
     return assign_orientation(kps, dx_stack, dy_stack, cfg)

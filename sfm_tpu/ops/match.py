@@ -86,6 +86,69 @@ def match_pair(
     return idx_a, idx_b, valid
 
 
+def guided_match_pair(
+    da: jnp.ndarray, va: jnp.ndarray, xy_a: jnp.ndarray,
+    db: jnp.ndarray, vb: jnp.ndarray, xy_b: jnp.ndarray,
+    E: jnp.ndarray, intr_a: jnp.ndarray, intr_b: jnp.ndarray,
+    cfg: MatchConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Guided matching (SURVEY.md §2.4): re-match inside the epipolar band.
+
+    After two-view verification, candidates are restricted to pairs whose
+    Sampson error under the verified E is inside a narrow band, and the
+    ratio test is relaxed — recovering correct matches that failed the
+    global ratio test under repetitive structure. The epipolar gate is two
+    outer-product matmuls (MXU), not a per-pair loop.
+    """
+    from sfm_tpu.geometry.cameras import pixel_to_camera
+
+    BIG = 1e9
+    x1 = pixel_to_camera(xy_a, intr_a)
+    x2 = pixel_to_camera(xy_b, intr_b)
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], -1)  # [N1, 3]
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], -1)  # [N2, 3]
+    l1 = x1h @ E.T                                             # E x1   [N1, 3]
+    l2 = x2h @ E                                               # E^T x2 [N2, 3]
+    num = (l1 @ x2h.T) ** 2                                    # [N1, N2]
+    den = (l1[:, 0] ** 2 + l1[:, 1] ** 2)[:, None] + (l2[:, 0] ** 2 + l2[:, 1] ** 2)[None, :]
+    sampson = num / jnp.maximum(den, 1e-12)
+    f = (intr_a[0] + intr_a[1] + intr_b[0] + intr_b[1]) * 0.25
+    gate = sampson < (cfg.guided_band_px / f) ** 2
+
+    d = descriptor_distances(da, db, cfg.use_bf16_matmul)
+    d = jnp.where(gate & va[:, None] & vb[None, :], d, BIG)
+
+    neg2, idx2 = jax.lax.top_k(-d, 2)
+    d1, d2 = -neg2[:, 0], -neg2[:, 1]
+    nn = idx2[:, 0]
+    # Relaxed ratio; accept unambiguous singles (d2 masked out) too.
+    ok = (d1 < BIG / 2) & ((d1 < cfg.guided_ratio**2 * d2) | (d2 > BIG / 2)) & va
+    nn_back = jnp.argmin(d, axis=0)
+    ok = ok & (nn_back[nn] == jnp.arange(d.shape[0]))
+
+    score = jnp.where(ok, -d1, -BIG)
+    M = cfg.max_matches
+    top_scores, idx_a = jax.lax.top_k(score, min(M, score.shape[0]))
+    idx_b = nn[idx_a]
+    valid = top_scores > -BIG / 2
+    if M > idx_a.shape[0]:
+        pad = M - idx_a.shape[0]
+        idx_a = jnp.pad(idx_a, (0, pad))
+        idx_b = jnp.pad(idx_b, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return idx_a, idx_b, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def guided_match_block(
+    desc_i, valid_i, xy_i, desc_j, valid_j, xy_j, E, intr_i, intr_j, cfg: MatchConfig
+) -> PairMatches:
+    idx_a, idx_b, ok = jax.vmap(
+        lambda a, vaa, xa, b, vbb, xb, e, ia, ib: guided_match_pair(a, vaa, xa, b, vbb, xb, e, ia, ib, cfg)
+    )(desc_i, valid_i, xy_i, desc_j, valid_j, xy_j, E, intr_i, intr_j)
+    return PairMatches(idx_i=idx_a, idx_j=idx_b, valid=ok)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def match_block(
     desc_i: jnp.ndarray, valid_i: jnp.ndarray,

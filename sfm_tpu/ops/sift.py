@@ -55,7 +55,12 @@ def extract_features(images: jnp.ndarray, cfg: SiftConfig, valid_hw: jnp.ndarray
         k_this = min(k_budget, int(dog.shape[1] * dog.shape[2] * dog.shape[3]))
 
         def per_image(dog_i, dx_i, dy_i):
-            kps = detect_octave(dog_i, dx_i, dy_i, cfg, k_this)
+            kps, angle2, valid2 = detect_octave(dog_i, dx_i, dy_i, cfg, k_this)
+            if cfg.multi_orientation:
+                # Lowe's rule: secondary orientation peaks spawn duplicate
+                # keypoints (same position/scale, different angle).
+                second = kps._replace(angle=angle2, valid=kps.valid & valid2)
+                kps = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), kps, second)
             desc = compute_descriptors(kps, dx_i, dy_i, cfg)
             return kps, desc
 

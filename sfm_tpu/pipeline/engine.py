@@ -121,25 +121,31 @@ def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int
     xy = np.zeros((T_cap, V, 2), np.float32)
     mask = np.zeros((T_cap, V), bool)
 
-    # Gather up to V registered observations per candidate track.
-    order = np.argsort(tr.track_id, kind="stable")
-    rows_by_track = {}
-    for r in order:
-        if reg_obs[r]:
-            rows_by_track.setdefault(tr.track_id[r], []).append(r)
-    intr_all = st.intrinsics
-    for ti, t in enumerate(cand):
-        rows = rows_by_track.get(t, [])[:V]
-        for vi, r in enumerate(rows):
-            img = tr.obs_image[r]
-            rvecs[ti, vi] = st.rvecs[img]
-            tvecs[ti, vi] = st.tvecs[img]
-            uv = st.feats.xy[img, tr.obs_kp[r]]
-            f = (intr_all[img, 0] + intr_all[img, 1]) * 0.5
-            xy[ti, vi] = np.asarray(
-                pixel_to_camera(jnp.asarray(uv), jnp.asarray(intr_all[img]))
-            )
-            mask[ti, vi] = True
+    # Vectorized gather of up to V registered observations per candidate
+    # track: track rows are stored sorted by track id, so each row's rank
+    # within its track comes from a searchsorted, and the whole fill plus the
+    # pixel normalization happens in two fancy-index ops and ONE device call
+    # (the per-row loop was the host-side bottleneck at scale).
+    rows = np.where(reg_obs)[0]
+    tids = tr.track_id[rows]
+    slot_of_track = -np.ones(tr.num_tracks, np.int64)
+    slot_of_track[cand] = np.arange(len(cand))
+    keep = slot_of_track[tids] >= 0
+    rows, tids = rows[keep], tids[keep]
+    first = np.searchsorted(tids, tids, side="left")
+    rank = np.arange(len(rows)) - first
+    keep = rank < V
+    rows, tids, rank = rows[keep], tids[keep], rank[keep]
+    slots = slot_of_track[tids]
+
+    imgs = tr.obs_image[rows]
+    rvecs[slots, rank] = st.rvecs[imgs]
+    tvecs[slots, rank] = st.tvecs[imgs]
+    uv_pix = st.feats.xy[imgs, tr.obs_kp[rows]]
+    xy[slots, rank] = np.asarray(
+        pixel_to_camera(jnp.asarray(uv_pix), jnp.asarray(st.intrinsics[imgs]))
+    )
+    mask[slots, rank] = True
 
     f_mean = float(np.mean(st.intrinsics[st.registered, 0]))
     res = triangulate_tracks(
@@ -149,14 +155,11 @@ def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int
     )
     valid = np.asarray(res.valid)[: len(cand)]
     pts = np.asarray(res.points)[: len(cand)]
-    n_new = 0
-    for ti, t in enumerate(cand):
-        if valid[ti]:
-            st.track_point[t] = len(st.points)
-            st.points.append(pts[ti])
-            st.point_valid.append(True)
-            n_new += 1
-    return n_new
+    new = np.where(valid)[0]
+    st.track_point[cand[new]] = len(st.points) + np.arange(len(new))
+    st.points.extend(pts[new])
+    st.point_valid.extend([True] * len(new))
+    return len(new)
 
 
 def _pnp_register(st: EngineState, img: int, cfg: PipelineConfig, key) -> bool:
@@ -206,7 +209,10 @@ def _run_ba(st: EngineState, cfg: PipelineConfig, free_cams=None) -> None:
     rec = st.materialize()
     if rec.num_observations < 8 or rec.num_points < 4:
         return
-    prob, cams, pids = build_problem(rec, free_cams=free_cams)
+    # Intrinsics refinement only in global BA (free_cams None): local windows
+    # lack the coverage to constrain focal/distortion.
+    refine = free_cams is None and (cfg.ba.refine_focal or cfg.ba.refine_distortion)
+    prob, cams, pids = build_problem(rec, free_cams=free_cams, refine_intrinsics=refine)
     out, stats = bundle_adjust(prob, cfg.ba)
     writeback(rec, out, cams, pids)
     st.rvecs[:] = rec.rvecs

@@ -118,11 +118,39 @@ def match_and_verify_stage(
             jnp.asarray(intrinsics[blk[:, 0]]), jnp.asarray(intrinsics[blk[:, 1]]),
             cfg.ransac,
         )
+        if cfg.match.guided:
+            # Guided re-match (SURVEY.md §2.4): densify verified edges with
+            # epipolar-gated matching under the just-estimated E; gated
+            # matches are inliers by construction.
+            from sfm_tpu.ops.match import guided_match_block
+            from sfm_tpu.geometry.rotations import so3_exp
+            import jax.numpy as jnp2
+
+            pm_g = guided_match_block(
+                di, jnp.asarray(feats.valid[blk[:, 0]]),
+                jnp.asarray(feats.xy[blk[:, 0]]),
+                dj, jnp.asarray(feats.valid[blk[:, 1]]),
+                jnp.asarray(feats.xy[blk[:, 1]]),
+                geom.E,
+                jnp.asarray(intrinsics[blk[:, 0]]), jnp.asarray(intrinsics[blk[:, 1]]),
+                cfg.match,
+            )
+            use = np.asarray(geom.ok)
+            pm_idx_i = np.where(use[:, None], np.asarray(pm_g.idx_i), np.asarray(pm.idx_i))
+            pm_idx_j = np.where(use[:, None], np.asarray(pm_g.idx_j), np.asarray(pm.idx_j))
+            inliers = np.where(use[:, None], np.asarray(pm_g.valid), np.asarray(geom.inliers))
+            ninl = np.where(use, np.asarray(pm_g.valid).sum(-1), np.asarray(geom.num_inliers))
+        else:
+            pm_idx_i = np.asarray(pm.idx_i)
+            pm_idx_j = np.asarray(pm.idx_j)
+            inliers = np.asarray(geom.inliers)
+            ninl = np.asarray(geom.num_inliers)
+
         n = e - s
-        out_idx_i[s:e] = np.asarray(pm.idx_i)[:n]
-        out_idx_j[s:e] = np.asarray(pm.idx_j)[:n]
-        out_inlier[s:e] = np.asarray(geom.inliers)[:n]
-        out_ninl[s:e] = np.asarray(geom.num_inliers)[:n]
+        out_idx_i[s:e] = pm_idx_i[:n]
+        out_idx_j[s:e] = pm_idx_j[:n]
+        out_inlier[s:e] = inliers[:n]
+        out_ninl[s:e] = ninl[:n]
         out_nh[s:e] = np.asarray(geom.num_h_inliers)[:n]
         out_rvec[s:e] = np.asarray(geom.rvec)[:n]
         out_tvec[s:e] = np.asarray(geom.tvec)[:n]

@@ -69,5 +69,38 @@ def test_essential_vs_cv2_on_synthetic():
 
 
 def test_pnp_vs_cv2():
-    """Placeholder parity target for the PnP stage (filled in at M2)."""
-    pytest.skip("PnP lands with the incremental engine (M2)")
+    """Batched EPnP+RANSAC agrees with cv2.solvePnPRansac."""
+    import jax
+    from sfm_tpu.ops.pnp import pnp_ransac
+    from sfm_tpu.utils.synthetic import add_outliers
+    from sfm_tpu.geometry.rotations import so3_exp
+
+    scene = make_orbit_scene(num_cameras=1, num_points=150, noise_px=0.5, seed=6)
+    pix, _ = add_outliers(scene.pixels, scene.visible, fraction=0.25, image_size=scene.image_size, seed=7)
+    vis = scene.visible[0]
+    X = scene.points[vis].astype(np.float64)
+    uv_pix = pix[0][vis].astype(np.float64)
+    K = np.array(
+        [[scene.intrinsics[0, 0], 0, scene.intrinsics[0, 2]],
+         [0, scene.intrinsics[0, 1], scene.intrinsics[0, 3]],
+         [0, 0, 1]]
+    )
+    ok_cv, rvec_cv, tvec_cv, _ = cv2.solvePnPRansac(
+        X, uv_pix.reshape(-1, 1, 2), K, None, reprojectionError=4.0, flags=cv2.SOLVEPNP_EPNP
+    )
+    assert ok_cv
+
+    intr = jnp.asarray(scene.intrinsics[0])
+    uv_norm = pixel_to_camera(jnp.asarray(uv_pix, dtype=jnp.float32), intr)
+    thr = (4.0 / 600.0) ** 2
+    pose, inl, n, ok = pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(X, dtype=jnp.float32), uv_norm,
+        jnp.ones(len(X), dtype=bool), num_hypotheses=512, threshold_sq=thr, min_inliers=12,
+    )
+    assert bool(ok)
+    R_ours = np.asarray(so3_exp(pose[:3]))
+    R_cv = cv2.Rodrigues(rvec_cv)[0]
+    rot_err = np.degrees(np.arccos(np.clip((np.trace(R_ours.T @ R_cv) - 1) / 2, -1, 1)))
+    t_err = np.linalg.norm(np.asarray(pose[3:]) - tvec_cv[:, 0])
+    assert rot_err < 1.0, rot_err
+    assert t_err < 0.05, t_err

@@ -129,3 +129,33 @@ def test_ba_robust_loss_resists_outliers():
     writeback(rec_n, out_n, cams, pts)
     assert rec_r.mean_reprojection_error() < rec_n.mean_reprojection_error()
     assert rec_r.mean_reprojection_error() < 1.0
+
+
+def test_ba_refines_intrinsics():
+    # Scene rendered with focal 600 & k1=-0.05, but the reconstruction
+    # believes focal 570 / k1=0: intrinsics-refining BA must recover both.
+    scene = make_orbit_scene(num_cameras=8, num_points=120, noise_px=0.2, seed=11, k1=-0.05)
+    rec = scene_to_reconstruction(scene, pose_noise=0.002, point_noise=0.01, seed=12)
+    rec.intrinsics[:, 0] = 570.0
+    rec.intrinsics[:, 1] = 570.0
+    rec.intrinsics[:, 4] = 0.0
+    prob, cams, pts = build_problem(rec, refine_intrinsics=True)
+    cfg = BAConfig(max_iterations=40, robust_loss="none", refine_focal=True, refine_distortion=True)
+    out, stats = core.bundle_adjust(prob, cfg)
+    writeback(rec, out, cams, pts)
+    after = rec.mean_reprojection_error()
+    assert after < 0.5, after
+    # Focal recovered within 1.5%, k1 in the right ballpark.
+    np.testing.assert_allclose(rec.intrinsics[1:, 0], 600.0, rtol=0.015)
+    assert np.all(rec.intrinsics[1:, 4] < -0.02)
+
+
+def test_ba_intrinsics_freeze_flags():
+    scene = make_orbit_scene(num_cameras=6, num_points=60, noise_px=0.2, seed=13)
+    rec = scene_to_reconstruction(scene, pose_noise=0.005, point_noise=0.02, seed=14)
+    f0 = rec.intrinsics[:, 0].copy()
+    prob, cams, pts = build_problem(rec, refine_intrinsics=True)
+    cfg = BAConfig(max_iterations=10, robust_loss="none", refine_focal=False, refine_distortion=True)
+    out, _ = core.bundle_adjust(prob, cfg)
+    writeback(rec, out, cams, pts)
+    np.testing.assert_array_equal(rec.intrinsics[:, 0], f0)  # focal frozen
