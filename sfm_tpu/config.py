@@ -29,6 +29,8 @@ class SiftConfig:
     edge_threshold: float = 10.0        # Hessian eigenvalue ratio r
     max_keypoints: int = 4096           # static keypoint budget per image
     max_candidates: int = 16384         # static extremum-candidate budget
+    desc_per_octave: int = 1024         # candidates kept per octave for
+                                        # orientation/descriptor compute
     refine_iters: int = 3               # subpixel quadratic-fit iterations
     num_orientation_bins: int = 36
     orientation_peak_ratio: float = 0.8
@@ -196,6 +198,33 @@ def config_hash(cfg: Any) -> str:
     """Stable hash of a config — keys the stage-artifact cache (SURVEY.md §5.4)."""
     blob = json.dumps(config_to_dict(cfg), sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def load_config(path: str, overrides: dict[str, Any] | None = None) -> PipelineConfig:
+    """PipelineConfig from a YAML (or JSON) file + optional dotted overrides
+    (SURVEY.md §5.6)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        import yaml
+
+        data = yaml.safe_load(text) or {}
+    except ImportError:
+        data = json.loads(text)
+    cfg = config_from_dict(PipelineConfig, data)
+    return apply_overrides(cfg, overrides) if overrides else cfg
+
+
+def save_config(cfg: PipelineConfig, path: str) -> None:
+    data = config_to_dict(cfg)
+    try:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(data, f, sort_keys=False)
+    except ImportError:
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2)
 
 
 def apply_overrides(cfg: PipelineConfig, overrides: dict[str, Any]) -> PipelineConfig:

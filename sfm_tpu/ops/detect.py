@@ -37,13 +37,10 @@ class OctaveKeypoints(NamedTuple):
     valid: jnp.ndarray      # bool
 
 
-def find_extrema(dog: jnp.ndarray, cfg: SiftConfig, k_budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """dog [Ld, H, W] -> (flat candidate indices [K], candidate scores [K]).
-
-    A voxel is a candidate iff it is the strict max or min of its 26
-    neighbours and exceeds ~80% of the contrast threshold (the final
-    threshold is applied after subpixel interpolation, like the reference
-    class does).
+def extrema_score_map(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """Score map [Ld, H, W]: |dog| where a voxel is the max/min of its 26
+    neighbours and clears the pre-threshold, else 0. This is the jnp
+    reference for the fused Pallas kernel (sfm_tpu/kernels/dog_extrema.py).
     """
     Ld, H, W = dog.shape
     wmax = jax.lax.reduce_window(dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
@@ -61,37 +58,74 @@ def find_extrema(dog: jnp.ndarray, cfg: SiftConfig, k_budget: int) -> tuple[jnp.
         & (yy >= margin) & (yy < H - margin)
         & (xx >= margin) & (xx < W - margin)
     )
-    score = jnp.where(is_ext & interior, jnp.abs(dog), 0.0)
+    return jnp.where(is_ext & interior, jnp.abs(dog), 0.0)
+
+
+def select_candidates(score: jnp.ndarray, k_budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over a score map: (flat indices [K], scores [K]).
+
+    On TPU, approx_max_k is the native single-pass top-k; exact recall does
+    not matter for candidate selection — missed near-threshold extrema are
+    the weakest candidates anyway.
+    """
     flat = score.reshape(-1)
     if jax.default_backend() == "tpu":
-        # approx_max_k is the TPU-native top-k (single pass over tiles);
-        # exact recall doesn't matter for candidate selection — missed
-        # near-threshold extrema are the weakest candidates anyway.
         vals, idx = jax.lax.approx_max_k(flat, k_budget, recall_target=0.95)
     else:
         vals, idx = jax.lax.top_k(flat, k_budget)
     return idx, vals
 
 
-def _gather_cube(dog_flat: jnp.ndarray, Ld: int, H: int, W: int, l, y, x) -> jnp.ndarray:
-    """Gather the 3x3x3 neighbourhood around integer (l, y, x). Returns [..., 3, 3, 3]."""
+def find_extrema(gauss: jnp.ndarray, cfg: SiftConfig, k_budget: int, use_pallas: bool | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gaussian stack [L, H, W] -> (flat DoG candidate indices [K], scores [K]).
+
+    A voxel is a candidate iff it is the strict max or min of its 26
+    neighbours and exceeds ~80% of the contrast threshold (the final
+    threshold is applied after subpixel interpolation, like the reference
+    class does). On TPU with cfg.use_pallas, the fused DoG+extrema kernel
+    computes the score map in one pass over the gaussian volume.
+    """
+    from sfm_tpu.kernels import on_tpu
+
+    if use_pallas is None:
+        use_pallas = cfg.use_pallas
+    H = gauss.shape[1]
+    pre_thresh = 0.8 * cfg.contrast_threshold / cfg.scales_per_octave
+    if use_pallas and on_tpu() and H % 128 == 0:
+        from sfm_tpu.kernels.dog_extrema import dog_extrema_scores
+
+        score = dog_extrema_scores(gauss, pre_thresh)
+    else:
+        score = extrema_score_map(gauss[1:] - gauss[:-1], cfg)
+    return select_candidates(score, k_budget)
+
+
+def _gather_dog_cube(gauss_flat: jnp.ndarray, H: int, W: int, l, y, x) -> jnp.ndarray:
+    """3x3x3 DoG neighbourhood around DoG voxel (l, y, x), gathered from the
+    GAUSSIAN stack (dog[l] = G[l+1] - G[l]) — the full DoG volume is never
+    materialized on the Pallas-kernel path. Returns [..., 3, 3, 3]."""
+    offs_l = jnp.arange(-1, 3)  # gaussian levels l-1 .. l+2
     offs = jnp.arange(-1, 2)
-    li = (l[..., None, None, None] + offs.reshape(3, 1, 1))
+    li = (l[..., None, None, None] + offs_l.reshape(4, 1, 1))
     yi = (y[..., None, None, None] + offs.reshape(1, 3, 1))
     xi = (x[..., None, None, None] + offs.reshape(1, 1, 3))
     flat_idx = (li * H + yi) * W + xi
-    return dog_flat[flat_idx]
+    g4 = gauss_flat[flat_idx]           # [..., 4, 3, 3]
+    return g4[..., 1:, :, :] - g4[..., :-1, :, :]
 
 
-def refine_candidates(dog: jnp.ndarray, idx: jnp.ndarray, scores: jnp.ndarray, cfg: SiftConfig) -> OctaveKeypoints:
+def refine_candidates(gauss: jnp.ndarray, idx: jnp.ndarray, scores: jnp.ndarray, cfg: SiftConfig) -> OctaveKeypoints:
     """Subpixel/sublevel refinement by iterated 3D quadratic fit (SURVEY.md §2.2).
 
+    gauss is the octave GAUSSIAN stack [L, H, W]; idx are flat indices into
+    the DoG volume [L-1, H, W] (from find_extrema / the Pallas score kernel).
     Fixed iteration count; each iteration moves the integer base voxel toward
     the offset if it exceeds 0.6 (clamped to the interior), re-fits, and the
     final validity folds in convergence, contrast, and edge tests.
     """
-    Ld, H, W = dog.shape
-    dog_flat = dog.reshape(-1)
+    L, H, W = gauss.shape
+    Ld = L - 1
+    gauss_flat = gauss.reshape(-1)
     l = jnp.clip((idx // (H * W)).astype(jnp.int32), 1, Ld - 2)
     rem = idx % (H * W)
     y = jnp.clip((rem // W).astype(jnp.int32), 2, H - 3)
@@ -101,7 +135,7 @@ def refine_candidates(dog: jnp.ndarray, idx: jnp.ndarray, scores: jnp.ndarray, c
     offset = jnp.zeros((idx.shape[0], 3), dtype=jnp.float32)
     grad = jnp.zeros_like(offset)
     for _ in range(cfg.refine_iters):
-        cube = _gather_cube(dog_flat, Ld, H, W, l, y, x)  # [K, 3, 3, 3] (l, y, x)
+        cube = _gather_dog_cube(gauss_flat, H, W, l, y, x)  # [K, 3, 3, 3] (l, y, x)
         # First derivatives (central differences on the cube).
         dl = 0.5 * (cube[:, 2, 1, 1] - cube[:, 0, 1, 1])
         dy = 0.5 * (cube[:, 1, 2, 1] - cube[:, 1, 0, 1])
@@ -133,7 +167,7 @@ def refine_candidates(dog: jnp.ndarray, idx: jnp.ndarray, scores: jnp.ndarray, c
         y = jnp.clip(y + step[:, 1], 2, H - 3)
         x = jnp.clip(x + step[:, 2], 2, W - 3)
 
-    cube = _gather_cube(dog_flat, Ld, H, W, l, y, x)
+    cube = _gather_dog_cube(gauss_flat, H, W, l, y, x)
     c = cube[:, 1, 1, 1]
     contrast = c + 0.5 * jnp.sum(grad * offset, axis=-1)
     converged = jnp.max(jnp.abs(offset), axis=-1) < 1.0
@@ -236,12 +270,12 @@ def assign_orientation(kps: OctaveKeypoints, dx_stack: jnp.ndarray, dy_stack: jn
     return kps._replace(angle=angle1), angle2, valid2
 
 
-def detect_octave(dog: jnp.ndarray, dx_stack: jnp.ndarray, dy_stack: jnp.ndarray, cfg: SiftConfig, k_budget: int):
+def detect_octave(gauss: jnp.ndarray, dx_stack: jnp.ndarray, dy_stack: jnp.ndarray, cfg: SiftConfig, k_budget: int):
     """Full single-octave detection: extrema -> refine -> orientation.
 
-    Returns (keypoints, second orientation angles [K], second-orientation
-    validity [K]) — the caller duplicates rows for multi-orientation
-    keypoints (Lowe's 0.8-peak rule)."""
-    idx, scores = find_extrema(dog, cfg, k_budget)
-    kps = refine_candidates(dog, idx, scores, cfg)
+    gauss: octave GAUSSIAN stack [L, H, W]. Returns (keypoints, second
+    orientation angles [K], second-orientation validity [K]) — the caller
+    duplicates rows for multi-orientation keypoints (Lowe's 0.8-peak rule)."""
+    idx, scores = find_extrema(gauss, cfg, k_budget)
+    kps = refine_candidates(gauss, idx, scores, cfg)
     return assign_orientation(kps, dx_stack, dy_stack, cfg)

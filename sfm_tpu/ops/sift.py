@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 from sfm_tpu.config import SiftConfig
 from sfm_tpu.ops import pyramid as pyr
-from sfm_tpu.ops.detect import detect_octave
+from sfm_tpu.ops.detect import (
+    extrema_score_map, select_candidates, refine_candidates, assign_orientation,
+)
 from sfm_tpu.ops.descriptor import compute_descriptors
 
 
@@ -47,15 +49,40 @@ def extract_features(images: jnp.ndarray, cfg: SiftConfig, valid_hw: jnp.ndarray
     octaves = pyr.build_pyramid(images, cfg)
     factor0 = 0.5 if cfg.upsample_first_octave else 1.0
 
+    from sfm_tpu.kernels import on_tpu
+
     per_oct = []
     k_budget = max(cfg.max_candidates // cfg.num_octaves, 32)
     for o, stack in enumerate(octaves):
-        dog = stack[:, 1:] - stack[:, :-1]
         dx, dy = pyr.pyramid_gradients(stack)
-        k_this = min(k_budget, int(dog.shape[1] * dog.shape[2] * dog.shape[3]))
+        k_this = min(
+            k_budget,
+            int((stack.shape[1] - 1) * stack.shape[2] * stack.shape[3]),
+        )
 
-        def per_image(dog_i, dx_i, dy_i):
-            kps, angle2, valid2 = detect_octave(dog_i, dx_i, dy_i, cfg, k_this)
+        desc_budget = min(cfg.desc_per_octave, k_this)
+
+        # Score maps for the whole batch: the fused Pallas DoG+extrema
+        # kernel on TPU (grid over batch x row tiles; ANY-memory inputs
+        # cannot go through vmap), jnp reference elsewhere.
+        pre_thresh = 0.8 * cfg.contrast_threshold / cfg.scales_per_octave
+        if cfg.use_pallas and on_tpu() and stack.shape[2] % 128 == 0:
+            from sfm_tpu.kernels.dog_extrema import dog_extrema_scores_batch
+
+            score_maps = dog_extrema_scores_batch(stack, pre_thresh)
+        else:
+            score_maps = jax.vmap(lambda s: extrema_score_map(s[1:] - s[:-1], cfg))(stack)
+
+        def per_image(stack_i, score_i, dx_i, dy_i):
+            idx, scores = select_candidates(score_i, k_this)
+            kps = refine_candidates(stack_i, idx, scores, cfg)
+            # Compact to the survivors BEFORE the gather-heavy orientation
+            # and descriptor stages: detection over-provisions candidates,
+            # most of which fail the refine filters.
+            sc = jnp.where(kps.valid, kps.response, -1.0)
+            _, keep = jax.lax.top_k(sc, desc_budget)
+            kps = jax.tree.map(lambda a: a[keep], kps)
+            kps, angle2, valid2 = assign_orientation(kps, dx_i, dy_i, cfg)
             if cfg.multi_orientation:
                 # Lowe's rule: secondary orientation peaks spawn duplicate
                 # keypoints (same position/scale, different angle).
@@ -64,7 +91,7 @@ def extract_features(images: jnp.ndarray, cfg: SiftConfig, valid_hw: jnp.ndarray
             desc = compute_descriptors(kps, dx_i, dy_i, cfg)
             return kps, desc
 
-        kps, desc = jax.vmap(per_image)(dog, dx, dy)
+        kps, desc = jax.vmap(per_image)(stack, score_maps, dx, dy)
         scale = factor0 * (2.0**o)
         xy = jnp.stack([kps.x, kps.y], -1) * scale
         per_oct.append(

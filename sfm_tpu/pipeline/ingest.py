@@ -95,6 +95,49 @@ def load_images(images: Sequence, cfg: SiftConfig) -> ImageBatch:
     return ImageBatch(canvases=canvases, valid_hw=valid_hw, scales=scales, intrinsics=intr, names=names)
 
 
+def resolve_paths(images: Sequence) -> list[str] | None:
+    """If `images` is a directory or list of paths, return the path list."""
+    if isinstance(images, (str, os.PathLike)):
+        d = str(images)
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.lower().endswith(_IMAGE_EXTS)
+        )
+    if len(images) and all(isinstance(im, (str, os.PathLike)) for im in images):
+        return [str(p) for p in images]
+    return None
+
+
+def iter_image_chunks(paths: list[str], cfg: SiftConfig, chunk: int, prefetch: int = 2):
+    """Stream decoded image chunks with background prefetch (SURVEY.md §7
+    hard part 7: overlap host decode with device compute via double
+    buffering). Yields ImageBatch objects of exactly `chunk` images (last
+    one padded)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def producer():
+        try:
+            for s in range(0, len(paths), chunk):
+                batch_paths = paths[s:s + chunk]
+                q.put(load_images(batch_paths, cfg))
+        except BaseException as e:  # surface decode errors to the consumer
+            q.put(e)
+            return
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _resize_bilinear(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     try:
         import cv2

@@ -13,33 +13,66 @@ from sfm_tpu.scene.state import Reconstruction
 from sfm_tpu.utils.logging import StageTimer
 
 
+_STREAMING_MIN_IMAGES = 33  # above this, decode streams chunk-by-chunk
+
+
 def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
     timer = StageTimer(verbose=cfg.verbose)
 
-    with timer.stage("ingest"):
-        batch = ingest.load_images(images, cfg.sift)
+    # Large path-based inputs stream through the feature stage (decode
+    # prefetch overlapped with device extraction, SURVEY.md §7 hard part 7);
+    # small or in-memory inputs load eagerly.
+    paths = ingest.resolve_paths(images)
+    streaming = paths is not None and len(paths) >= _STREAMING_MIN_IMAGES
 
-    # Stage artifact cache (SURVEY.md §5.4): resume from completed stages.
     store = None
     key = None
-    if cfg.artifact_dir:
-        from sfm_tpu.config import config_hash
-        from sfm_tpu.scene.artifacts import ArtifactStore, input_hash
+    if streaming:
+        if cfg.artifact_dir:
+            from sfm_tpu.config import config_hash
+            from sfm_tpu.scene.artifacts import ArtifactStore, path_hash
 
-        store = ArtifactStore(cfg.artifact_dir)
-        key = config_hash(cfg) + "-" + input_hash(batch.canvases, batch.names)
+            store = ArtifactStore(cfg.artifact_dir)
+            key = config_hash(cfg) + "-" + path_hash(paths)
+        with timer.stage("features"):
+            if store and store.is_complete("features", key) and store.is_complete("meta", key):
+                feats = store.load_features()
+                meta = store.load("meta")
+                intrinsics, names = meta["intrinsics"], [str(n) for n in meta["names"]]
+            else:
+                feats, intrinsics, valid_hw, names = stages.extract_stage_streaming(paths, cfg)
+                if store:
+                    store.save_features(key, feats)
+                    store.save("meta", key, dict(
+                        intrinsics=intrinsics, valid_hw=valid_hw,
+                        names=np.asarray(names),
+                    ))
+        num_images = len(names)
+    else:
+        with timer.stage("ingest"):
+            batch = ingest.load_images(images, cfg.sift)
+        intrinsics, names = batch.intrinsics, batch.names
+        num_images = len(batch.canvases)
 
-    with timer.stage("features"):
-        if store and store.is_complete("features", key):
-            feats = store.load_features()
-        else:
-            feats = stages.extract_stage(batch, cfg)
-            if store:
-                store.save_features(key, feats)
+        # Stage artifact cache (SURVEY.md §5.4): resume from completed stages.
+        if cfg.artifact_dir:
+            from sfm_tpu.config import config_hash
+            from sfm_tpu.scene.artifacts import ArtifactStore, input_hash
+
+            store = ArtifactStore(cfg.artifact_dir)
+            key = config_hash(cfg) + "-" + input_hash(batch.canvases, batch.names)
+
+        with timer.stage("features"):
+            if store and store.is_complete("features", key):
+                feats = store.load_features()
+            else:
+                feats = stages.extract_stage(batch, cfg)
+                if store:
+                    store.save_features(key, feats)
 
     with timer.stage("pairs"):
         if cfg.pair_mode == "exhaustive":
-            pairs = stages.exhaustive_pairs(len(batch.canvases))
+            pairs = stages.exhaustive_pairs(num_images)
         elif cfg.pair_mode == "vocab_tree":
             from sfm_tpu.ops.vocab import vocab_tree_pairs
 
@@ -51,11 +84,19 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
         if store and store.is_complete("matches", key):
             graph = store.load_graph()
         else:
-            graph = stages.match_and_verify_stage(feats, pairs, batch.intrinsics, cfg, seed=cfg.seed)
+            prematched = None
+            if cfg.shard.num_devices > 1 and cfg.shard.ring_matching and cfg.pair_mode == "exhaustive":
+                # Multi-chip: the O(N^2) match sweep runs as the ring-ppermute
+                # sharded matcher over the mesh (SURVEY.md §5.7); verification
+                # then consumes the prematched correspondences.
+                pairs, pi, pj, pv = stages.ring_match_pairs(feats, cfg)
+                prematched = (pi, pj, pv) if pi is not None else None
+            graph = stages.match_and_verify_stage(
+                feats, pairs, intrinsics, cfg, seed=cfg.seed, prematched=prematched
+            )
             if store:
                 store.save_graph(key, graph)
 
-    num_images = len(batch.canvases)
     if store and store.is_complete("reconstruction", key):
         rec = store.load_reconstruction()
     elif num_images == 2:
@@ -65,21 +106,21 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
                 raise RuntimeError("two-view reconstruction failed: no verified pair")
             from sfm_tpu.pipeline.two_view import bootstrap_two_view
 
-            rec = bootstrap_two_view(feats, graph, int(ok_edges[0]), batch.intrinsics, cfg)
+            rec = bootstrap_two_view(feats, graph, int(ok_edges[0]), intrinsics, cfg)
     else:
         with timer.stage("incremental"):
             if cfg.partition.enabled:
                 from sfm_tpu.pipeline.partition import partitioned_reconstruct
 
-                rec = partitioned_reconstruct(feats, graph, batch.intrinsics, cfg)
+                rec = partitioned_reconstruct(feats, graph, intrinsics, cfg)
             else:
                 from sfm_tpu.pipeline.engine import incremental_reconstruct
 
-                rec = incremental_reconstruct(feats, graph, batch.intrinsics, cfg)
+                rec = incremental_reconstruct(feats, graph, intrinsics, cfg)
     if store and not store.is_complete("reconstruction", key):
         store.save_reconstruction(key, rec)
 
-    rec.image_names = batch.names
+    rec.image_names = names
     if cfg.verbose:
         print(f"[sfm_tpu] {rec.summary()}")
     return rec

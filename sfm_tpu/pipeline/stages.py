@@ -14,7 +14,7 @@ import numpy as np
 
 from sfm_tpu.config import PipelineConfig
 from sfm_tpu.ops.sift import extract_features, Features
-from sfm_tpu.ops.match import match_block
+from sfm_tpu.ops.match import match_block, PairMatches
 from sfm_tpu.ops.verify import verify_block
 from sfm_tpu.pipeline.ingest import ImageBatch
 
@@ -72,16 +72,89 @@ def extract_stage(batch: ImageBatch, cfg: PipelineConfig) -> FeatureSet:
     )
 
 
+def extract_stage_streaming(paths: list, cfg: PipelineConfig):
+    """Feature extraction over a path list without materializing all
+    canvases: decode chunks on a prefetch thread while the device extracts
+    the previous chunk (SURVEY.md §7 hard part 7). Returns
+    (FeatureSet, intrinsics [B,6], valid_hw [B,2], names)."""
+    from sfm_tpu.pipeline.ingest import iter_image_chunks
+
+    outs, intr, hw, names = [], [], [], []
+    for batch in iter_image_chunks(paths, cfg.sift, _FEATURE_CHUNK):
+        n = len(batch.names)
+        canv = batch.canvases
+        vhw = batch.valid_hw
+        pad = _FEATURE_CHUNK - n
+        if pad:
+            canv = np.concatenate([canv, np.zeros((pad, *canv.shape[1:]), canv.dtype)])
+            vhw = np.concatenate([vhw, np.zeros((pad, 2), vhw.dtype)])
+        f = extract_features(jnp.asarray(canv), cfg.sift, jnp.asarray(vhw))
+        outs.append(jax.tree.map(lambda a: np.asarray(a)[:n], f))
+        intr.append(batch.intrinsics)
+        hw.append(batch.valid_hw)
+        names.extend(batch.names)
+    feats = FeatureSet(
+        xy=np.concatenate([o.xy for o in outs]),
+        sigma=np.concatenate([o.sigma for o in outs]),
+        angle=np.concatenate([o.angle for o in outs]),
+        response=np.concatenate([o.response for o in outs]),
+        desc=np.concatenate([o.desc for o in outs]),
+        valid=np.concatenate([o.valid for o in outs]),
+    )
+    return feats, np.concatenate(intr), np.concatenate(hw), names
+
+
 def exhaustive_pairs(num_images: int) -> np.ndarray:
     """All N(N-1)/2 pairs (i < j)."""
     ii, jj = np.triu_indices(num_images, k=1)
     return np.stack([ii, jj], axis=1).astype(np.int32)
 
 
+def ring_match_pairs(feats: FeatureSet, cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All-pairs matching on a multi-chip mesh via the ring-ppermute matcher
+    (SURVEY.md §5.7). Returns (pairs [E,2] with i<j, idx_i, idx_j, valid)
+    in the same layout the block matcher produces, for the verify stage.
+    """
+    import jax.numpy as jnp2
+
+    from sfm_tpu.dist.mesh import make_mesh
+    from sfm_tpu.dist.ring_match import ring_match_all
+
+    B = len(feats.xy)
+    n_dev = cfg.shard.num_devices
+    padB = -(-B // n_dev) * n_dev
+    desc = np.zeros((padB, *feats.desc.shape[1:]), feats.desc.dtype)
+    valid = np.zeros((padB, feats.valid.shape[1]), bool)
+    desc[:B] = feats.desc
+    valid[:B] = feats.valid
+    mesh = make_mesh(n_dev, cfg.shard.mesh_axis)
+    ii, jj, ok = ring_match_all(jnp2.asarray(desc), jnp2.asarray(valid), cfg.match, mesh, cfg.shard.mesh_axis)
+    ii, jj, ok = np.asarray(ii), np.asarray(jj), np.asarray(ok)
+
+    pairs = []
+    out_i, out_j, out_v = [], [], []
+    for a in range(B):
+        for b in range(a + 1, B):
+            if ok[a, b].sum() >= cfg.match.min_matches:
+                pairs.append((a, b))
+                out_i.append(ii[a, b])
+                out_j.append(jj[a, b])
+                out_v.append(ok[a, b])
+    if not pairs:
+        return np.zeros((0, 2), np.int32), None, None, None
+    return (np.asarray(pairs, np.int32), np.stack(out_i), np.stack(out_j), np.stack(out_v))
+
+
 def match_and_verify_stage(
-    feats: FeatureSet, pairs: np.ndarray, intrinsics: np.ndarray, cfg: PipelineConfig, seed: int = 0
+    feats: FeatureSet, pairs: np.ndarray, intrinsics: np.ndarray, cfg: PipelineConfig, seed: int = 0,
+    prematched: tuple | None = None,
 ) -> MatchGraph:
-    """Match + geometric verification over pair blocks (SURVEY.md §3.3)."""
+    """Match + geometric verification over pair blocks (SURVEY.md §3.3).
+
+    prematched: optional (idx_i [E,M], idx_j [E,M], valid [E,M]) from the
+    ring matcher — the per-block matmul matching is skipped and verification
+    runs on the given correspondences.
+    """
     E = len(pairs)
     P = cfg.match.block_pairs
     M = cfg.match.max_matches
@@ -106,7 +179,16 @@ def match_and_verify_stage(
         vi = jnp.asarray(feats.valid[blk[:, 0]])
         dj = jnp.asarray(feats.desc[blk[:, 1]])
         vj = jnp.asarray(feats.valid[blk[:, 1]])
-        pm = match_block(di, vi, dj, vj, cfg.match)
+        if prematched is not None:
+            pi, pj, pv = prematched
+            pad_rows = np.tile(np.arange(s, e)[-1:], max(P - (e - s), 0))
+            rows = np.concatenate([np.arange(s, e), pad_rows])
+            pm = PairMatches(
+                idx_i=jnp.asarray(pi[rows]), idx_j=jnp.asarray(pj[rows]),
+                valid=jnp.asarray(pv[rows]),
+            )
+        else:
+            pm = match_block(di, vi, dj, vj, cfg.match)
 
         uv_i = np.take_along_axis(feats.xy[blk[:, 0]], np.asarray(pm.idx_i)[..., None], axis=1)
         uv_j = np.take_along_axis(feats.xy[blk[:, 1]], np.asarray(pm.idx_j)[..., None], axis=1)

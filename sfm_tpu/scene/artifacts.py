@@ -79,6 +79,15 @@ class ArtifactStore:
         return Reconstruction(**self.load(stage))
 
 
+def path_hash(paths: list) -> str:
+    """Input hash for the streaming path: names + file sizes + mtimes."""
+    h = hashlib.sha256()
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
 def input_hash(canvases: np.ndarray, names: list) -> str:
     h = hashlib.sha256()
     h.update(str(list(names)).encode())

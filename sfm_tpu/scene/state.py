@@ -84,11 +84,16 @@ class Reconstruction:
     def summary(self) -> dict:
         """The reconstruction report (SURVEY.md §5.5): the BASELINE metrics."""
         tl = self.track_lengths()
+        err = self.reprojection_errors()
+        hist_edges = [2, 3, 4, 6, 9, 14, 22]
+        hist = np.histogram(tl, bins=hist_edges + [1 << 30])[0] if len(tl) else np.zeros(7, int)
         return {
             "num_images": int(len(self.registered)),
             "num_registered": self.num_registered,
             "num_points": self.num_points,
             "num_observations": self.num_observations,
             "mean_reproj_error_px": self.mean_reprojection_error(),
+            "median_reproj_error_px": float(np.median(err)) if len(err) else float("nan"),
             "mean_track_length": float(tl.mean()) if len(tl) else 0.0,
+            "track_length_hist": {f">={e}": int(c) for e, c in zip(hist_edges, hist)},
         }

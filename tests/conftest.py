@@ -24,3 +24,8 @@ jax.config.update("jax_enable_x64", False)  # framework is fp32-first, like the 
 # Persistent compile cache: integration tests re-trace identical shapes.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# SURVEY.md §5.2: JAX designs data races out; the remaining numeric hazard is
+# silent NaN propagation. CI unit runs can flip this on.
+if os.environ.get("SFM_TPU_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)

@@ -1,0 +1,48 @@
+"""Pipeline-level sharded matching on the 8-device mesh equals the
+single-device pipeline (SURVEY.md §4.6)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sfm_tpu.config import PipelineConfig, SiftConfig, MatchConfig, RansacConfig, ShardConfig
+from sfm_tpu.pipeline import ingest, stages
+from sfm_tpu.utils.synthetic import render_blob_scene
+
+
+def test_ring_match_pairs_agree_with_blockwise():
+    imgs, _ = render_blob_scene(image_size=(128, 128), num_images=8, arc_fraction=0.08, num_blobs=80)
+    cfg = PipelineConfig(
+        sift=SiftConfig(max_keypoints=256, max_candidates=1024, num_octaves=2, image_max_dim=128),
+        match=MatchConfig(max_matches=128, min_matches=8),
+        ransac=RansacConfig(num_hypotheses=256, min_inliers=10, error_threshold_px=2.0),
+        shard=ShardConfig(num_devices=8),
+        verbose=False,
+    )
+    batch = ingest.load_images(list(imgs), cfg.sift)
+    feats = stages.extract_stage(batch, cfg)
+
+    pairs_r, pi, pj, pv = stages.ring_match_pairs(feats, cfg)
+    assert pi is not None
+
+    # Blockwise reference: same match set per overlapping pair.
+    from sfm_tpu.ops.match import match_block
+    import jax.numpy as jnp
+
+    for row, (a, b) in enumerate(pairs_r[:5]):
+        pm = match_block(
+            jnp.asarray(feats.desc[a][None]), jnp.asarray(feats.valid[a][None]),
+            jnp.asarray(feats.desc[b][None]), jnp.asarray(feats.valid[b][None]),
+            cfg.match,
+        )
+        ref = set(zip(np.asarray(pm.idx_i[0])[np.asarray(pm.valid[0])].tolist(),
+                      np.asarray(pm.idx_j[0])[np.asarray(pm.valid[0])].tolist()))
+        got = set(zip(pi[row][pv[row]].tolist(), pj[row][pv[row]].tolist()))
+        assert got == ref
+
+    # End-to-end: verification over the prematched set yields verified edges.
+    graph = stages.match_and_verify_stage(
+        feats, pairs_r, batch.intrinsics, cfg, seed=0, prematched=(pi, pj, pv)
+    )
+    assert graph.ok.sum() >= 4
