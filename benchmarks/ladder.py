@@ -1,0 +1,86 @@
+"""Config-ladder runner (BASELINE.md): end-to-end reconstruction at a given
+scale on synthetic blob scenes with ground truth, reporting per-stage
+wall-clock + accuracy vs GT.
+
+    python benchmarks/ladder.py [num_images] [image_size] [pair_mode] [partition]
+
+Ladder mapping: 2 -> config #1 (two-view), ~46 -> #2 (Temple-Ring-like),
+100-500 + vocab_tree -> #3, 1-2k -> #4, 10k+ + partition -> #5.
+Appends a row to benchmarks/ladder_log.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 384
+    pair_mode = sys.argv[3] if len(sys.argv) > 3 else "exhaustive"
+    partition = len(sys.argv) > 4 and sys.argv[4] == "partition"
+
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import (
+        PipelineConfig, SiftConfig, MatchConfig, RansacConfig, EngineConfig,
+        BAConfig, VocabConfig, PartitionConfig,
+    )
+    from sfm_tpu.geometry.projection import camera_center
+    from sfm_tpu.geometry.similarity import umeyama, apply_sim3
+    from sfm_tpu.pipeline.run import run_pipeline
+    from sfm_tpu.utils.synthetic import render_blob_scene
+
+    t0 = time.perf_counter()
+    imgs, scene = render_blob_scene(
+        image_size=(size, size), num_images=n,
+        num_blobs=min(60 + 8 * n, 600), focal=size * 1.2,
+        arc_fraction=min(0.02 * n, 1.0), radius=4.0,
+    )
+    t_render = time.perf_counter() - t0
+
+    cfg = PipelineConfig(
+        sift=SiftConfig(image_max_dim=size, max_keypoints=1024, max_candidates=4096, num_octaves=3),
+        match=MatchConfig(max_matches=512, min_matches=12),
+        ransac=RansacConfig(num_hypotheses=512, min_inliers=12, error_threshold_px=2.0),
+        engine=EngineConfig(init_min_inliers=25, abs_pose_min_inliers=10,
+                            local_ba_window=6, global_ba_every=8),
+        ba=BAConfig(max_iterations=15),
+        vocab=VocabConfig(num_neighbors=min(12, n - 1)),
+        partition=PartitionConfig(enabled=partition, target_cluster_size=25, overlap_cameras=6),
+        pair_mode=pair_mode,
+        verbose=True,
+    )
+    t0 = time.perf_counter()
+    rec = run_pipeline(list(imgs), cfg)
+    t_total = time.perf_counter() - t0
+
+    # Accuracy vs GT (sim3-aligned camera centers).
+    reg = np.where(rec.registered)[0]
+    rmse = float("nan")
+    if len(reg) >= 3:
+        est = np.stack([np.asarray(camera_center(jnp.asarray(rec.rvecs[i]), jnp.asarray(rec.tvecs[i]))) for i in reg])
+        gt = np.stack([np.asarray(camera_center(jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]))) for i in reg])
+        s, R, t = umeyama(jnp.asarray(est), jnp.asarray(gt))
+        rmse = float(np.sqrt(((np.asarray(apply_sim3(s, R, t, jnp.asarray(est))) - gt) ** 2).sum(-1).mean()))
+
+    row = {
+        "n_images": n, "image_size": size, "pair_mode": pair_mode, "partition": partition,
+        "wall_clock_s": t_total, "render_s": t_render,
+        "summary": rec.summary(), "camera_rmse_vs_gt": rmse,
+    }
+    print(json.dumps(row, indent=2, default=str))
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/ladder_log.jsonl", "a") as f:
+        f.write(json.dumps(row, default=str) + "\n")
+
+
+if __name__ == "__main__":
+    main()

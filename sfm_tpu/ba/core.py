@@ -68,13 +68,18 @@ def residuals_and_jacobians(prob: BAProblem, cam_params: jnp.ndarray, points: jn
     cams_o = cam_params[prob.obs_cam]
     pts_o = points[prob.obs_point]
     intr_o = prob.intrinsics[prob.obs_cam]
+    D = cam_params.shape[-1]
 
-    def res_params(cam, pt, intr, uv):
-        return _residual_one(cam, pt, intr, uv)
+    # One fused jacfwd over [cam | point] shares the primal trace between the
+    # camera and point blocks (two separate jacfwd calls recompute it).
+    def res_cat(theta, intr, uv):
+        return _residual_one(theta[:D], theta[D:], intr, uv)
 
-    r = jax.vmap(res_params)(cams_o, pts_o, intr_o, prob.obs_uv)
-    Jc = jax.vmap(jax.jacfwd(res_params, argnums=0))(cams_o, pts_o, intr_o, prob.obs_uv)
-    Jp = jax.vmap(jax.jacfwd(res_params, argnums=1))(cams_o, pts_o, intr_o, prob.obs_uv)
+    theta = jnp.concatenate([cams_o, pts_o], axis=-1)
+    r = jax.vmap(res_cat)(theta, intr_o, prob.obs_uv)
+    J = jax.vmap(jax.jacfwd(res_cat))(theta, intr_o, prob.obs_uv)  # [O, 2, D+3]
+    Jc = J[..., :D]
+    Jp = J[..., D:]
 
     s = jnp.sum(r * r, axis=-1)
     w = robust_weight(s, cfg.robust_loss, cfg.robust_scale_px) * prob.obs_w
@@ -144,10 +149,17 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     JcTJc = jnp.einsum("oai,oaj->oij", Jc, Jc)            # [O, 6, 6]
     JpTJp = jnp.einsum("oai,oaj->oij", Jp, Jp)            # [O, 3, 3]
     W = jnp.einsum("oai,oaj->oij", Jc, Jp)                # [O, 6, 3]
+    # Observations are sorted by point (ba/problem.py), so point-indexed
+    # segment sums take the sorted fast path; camera ids are NOT sorted.
     Hcc = _maybe_psum(jax.ops.segment_sum(JcTJc, prob.obs_cam, C), axis_name)     # [C, 6, 6]
-    Hpp = _maybe_psum(jax.ops.segment_sum(JpTJp, prob.obs_point, P), axis_name)   # [P, 3, 3]
+    Hpp = _maybe_psum(
+        jax.ops.segment_sum(JpTJp, prob.obs_point, P, indices_are_sorted=True), axis_name
+    )   # [P, 3, 3]
     bc = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C), axis_name)
-    bp = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P), axis_name)
+    bp = -_maybe_psum(
+        jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P, indices_are_sorted=True),
+        axis_name,
+    )
 
     # Multiplicative LM damping on block diagonals (Ceres-style), with an
     # absolute floor so padded/unconstrained blocks stay invertible.
@@ -175,7 +187,9 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
     segment-sums complete across shards via psum (ne.Hcc/Hpp_inv and v are
     replicated, so the CG iterates stay bitwise-identical on all shards)."""
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
-    g = _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
+    g = _maybe_psum(
+        jax.ops.segment_sum(u, prob.obs_point, prob.num_points, indices_are_sorted=True), axis_name
+    )
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
     Wv = _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
@@ -224,7 +238,9 @@ def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig, axis_n
 def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """dp = Hpp^-1 (bp - W^T dc)."""
     u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
-    g = ne.bp - _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
+    g = ne.bp - _maybe_psum(
+        jax.ops.segment_sum(u, prob.obs_point, prob.num_points, indices_are_sorted=True), axis_name
+    )
     return jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)
 
 

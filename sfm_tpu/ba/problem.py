@@ -84,6 +84,12 @@ def build_problem(
     pt_lut = -np.ones(len(rec.points), dtype=np.int32)
     pt_lut[point_ids] = np.arange(len(point_ids))
 
+    # Sort observations by (point, camera): point-indexed segment_sums in
+    # the BA core then take the sorted fast path (segmented scan instead of
+    # scatter-add) — they run twice per CG iteration.
+    order = np.lexsort((rec.obs_image[obs_rows], rec.obs_point[obs_rows]))
+    obs_rows = obs_rows[order]
+
     O = len(obs_rows)
     C = len(cam_indices)
     P = len(point_ids)

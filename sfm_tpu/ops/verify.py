@@ -51,7 +51,9 @@ def verify_pair(
     k_e, k_h = jax.random.split(key)
     res_e = ransac(
         k_e, x1, x2, mask,
-        solver=lambda a, b: solvers.essential_minimal(a, b),
+        # 4 GN polish steps per hypothesis: 3 recovers most of the manifold
+        # projection error, the LO refit below does the precision work.
+        solver=lambda a, b: solvers.essential_minimal(a, b, gn_iters=4),
         error_fn=solvers.sampson_error,
         sample_size=8,
         num_hypotheses=cfg.num_hypotheses,

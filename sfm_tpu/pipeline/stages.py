@@ -131,18 +131,14 @@ def ring_match_pairs(feats: FeatureSet, cfg: PipelineConfig) -> tuple[np.ndarray
     ii, jj, ok = ring_match_all(jnp2.asarray(desc), jnp2.asarray(valid), cfg.match, mesh, cfg.shard.mesh_axis)
     ii, jj, ok = np.asarray(ii), np.asarray(jj), np.asarray(ok)
 
-    pairs = []
-    out_i, out_j, out_v = [], [], []
-    for a in range(B):
-        for b in range(a + 1, B):
-            if ok[a, b].sum() >= cfg.match.min_matches:
-                pairs.append((a, b))
-                out_i.append(ii[a, b])
-                out_j.append(jj[a, b])
-                out_v.append(ok[a, b])
-    if not pairs:
+    counts = ok.sum(-1)                                   # [padB, padB]
+    upper = np.triu(np.ones((B, B), bool), k=1)
+    keep = upper & (counts[:B, :B] >= cfg.match.min_matches)
+    a_idx, b_idx = np.nonzero(keep)
+    if len(a_idx) == 0:
         return np.zeros((0, 2), np.int32), None, None, None
-    return (np.asarray(pairs, np.int32), np.stack(out_i), np.stack(out_j), np.stack(out_v))
+    pairs = np.stack([a_idx, b_idx], 1).astype(np.int32)
+    return pairs, ii[a_idx, b_idx], jj[a_idx, b_idx], ok[a_idx, b_idx]
 
 
 def match_and_verify_stage(

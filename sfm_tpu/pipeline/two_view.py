@@ -92,7 +92,7 @@ def bootstrap_two_view(
     obs_kp = np.concatenate([ki, kj]).astype(np.int32)
     obs_uv = np.concatenate([uv1, uv2]).astype(np.float32)
 
-    return Reconstruction(
+    rec = Reconstruction(
         intrinsics=intrinsics.copy(),
         rvecs=rvecs,
         tvecs=tvecs,
@@ -105,3 +105,12 @@ def bootstrap_two_view(
         obs_kp=obs_kp,
         obs_uv=obs_uv,
     )
+
+    # Two-view bundle adjustment (SURVEY.md §2.5 bootstrap step).
+    if n >= 8:
+        from sfm_tpu.ba import build_problem, bundle_adjust, writeback
+
+        prob, cams, pids = build_problem(rec)
+        out, _ = bundle_adjust(prob, cfg.ba)
+        writeback(rec, out, cams, pids)
+    return rec
