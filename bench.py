@@ -21,6 +21,10 @@ import time
 
 import numpy as np
 
+# Persistent XLA compile cache: bench re-runs retrace identical shapes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 # First measured numbers on the Axon v5e sim (2026-08-16), with the jnp
 # reference matcher and host-forced timing — see BASELINE.md "Measured".
 # vs_baseline therefore tracks the speedup of the optimized TPU path over the

@@ -18,6 +18,10 @@ import time
 
 import numpy as np
 
+# Persistent XLA compile cache: ladder/bench runs retrace many shapes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -149,17 +149,13 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     JcTJc = jnp.einsum("oai,oaj->oij", Jc, Jc)            # [O, 6, 6]
     JpTJp = jnp.einsum("oai,oaj->oij", Jp, Jp)            # [O, 3, 3]
     W = jnp.einsum("oai,oaj->oij", Jc, Jp)                # [O, 6, 3]
-    # Observations are sorted by point (ba/problem.py), so point-indexed
-    # segment sums take the sorted fast path; camera ids are NOT sorted.
+    # NOTE: no indices_are_sorted hints here — the camera-sharded path
+    # reorders observations by camera, so point sortedness cannot be assumed
+    # by this shared code (and the hint measured perf-neutral on v5e).
     Hcc = _maybe_psum(jax.ops.segment_sum(JcTJc, prob.obs_cam, C), axis_name)     # [C, 6, 6]
-    Hpp = _maybe_psum(
-        jax.ops.segment_sum(JpTJp, prob.obs_point, P, indices_are_sorted=True), axis_name
-    )   # [P, 3, 3]
+    Hpp = _maybe_psum(jax.ops.segment_sum(JpTJp, prob.obs_point, P), axis_name)   # [P, 3, 3]
     bc = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C), axis_name)
-    bp = -_maybe_psum(
-        jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P, indices_are_sorted=True),
-        axis_name,
-    )
+    bp = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P), axis_name)
 
     # Multiplicative LM damping on block diagonals (Ceres-style), with an
     # absolute floor so padded/unconstrained blocks stay invertible.
@@ -187,9 +183,7 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
     segment-sums complete across shards via psum (ne.Hcc/Hpp_inv and v are
     replicated, so the CG iterates stay bitwise-identical on all shards)."""
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
-    g = _maybe_psum(
-        jax.ops.segment_sum(u, prob.obs_point, prob.num_points, indices_are_sorted=True), axis_name
-    )
+    g = _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
     Wv = _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
@@ -238,9 +232,7 @@ def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig, axis_n
 def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """dp = Hpp^-1 (bp - W^T dc)."""
     u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
-    g = ne.bp - _maybe_psum(
-        jax.ops.segment_sum(u, prob.obs_point, prob.num_points, indices_are_sorted=True), axis_name
-    )
+    g = ne.bp - _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
     return jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)
 
 

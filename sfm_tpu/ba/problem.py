@@ -95,9 +95,15 @@ def build_problem(
     P = len(point_ids)
     O_cap = obs_capacity or _round_up(O, 1024)
     P_cap = point_capacity or _round_up(P, 256)
+    # Camera capacity is bucketed too: the incremental engine registers one
+    # camera at a time, and without this every registration would recompile
+    # the whole LM program (C appears in every array shape).
+    C_cap = _round_up(C, 8)
 
     obs_cam = np.zeros(O_cap, np.int32)
-    obs_point = np.zeros(O_cap, np.int32)
+    # Padding rows point at the LAST segment so point sortedness survives
+    # padding (their contributions are exactly zero via obs_w = 0).
+    obs_point = np.full(O_cap, max(P_cap - 1, 0), np.int32)
     obs_uv = np.zeros((O_cap, 2), np.float32)
     obs_w = np.zeros(O_cap, np.float32)
     obs_cam[:O] = cam_lut[rec.obs_image[obs_rows]]
@@ -109,18 +115,24 @@ def build_problem(
     points[:P] = rec.points[point_ids]
 
     if free_cams is None:
-        fixed = np.zeros(C, bool)
+        fixed = np.zeros(C_cap, bool)
         fixed[0] = True  # gauge anchor
     else:
         free_set = set(int(i) for i in free_cams)
-        fixed = np.array([int(g) not in free_set for g in cam_indices])
+        fixed = np.array([int(g) not in free_set for g in cam_indices] + [True] * (C_cap - C))
+    fixed[C:] = True  # padded camera slots never move
 
     cp = np.concatenate([rec.rvecs[cam_indices], rec.tvecs[cam_indices]], axis=1)
     if refine_intrinsics:
         cp = np.concatenate([cp, np.zeros((len(cam_indices), 2))], axis=1)
+    cp = np.concatenate([cp, np.zeros((C_cap - C, cp.shape[1]))], axis=0)
+    intr = np.concatenate(
+        [rec.intrinsics[cam_indices],
+         np.tile([[1.0, 1.0, 0.0, 0.0, 0.0, 0.0]], (C_cap - C, 1))], axis=0
+    )
     prob = BAProblem(
         cam_params=jnp.asarray(cp.astype(np.float32)),
-        intrinsics=jnp.asarray(rec.intrinsics[cam_indices].astype(np.float32)),
+        intrinsics=jnp.asarray(intr.astype(np.float32)),
         points=jnp.asarray(points),
         obs_cam=jnp.asarray(obs_cam),
         obs_point=jnp.asarray(obs_point),
@@ -134,7 +146,7 @@ def build_problem(
 
 def writeback(rec: Reconstruction, prob: BAProblem, cam_indices: np.ndarray, point_ids: np.ndarray) -> None:
     """Write optimized parameters back into the reconstruction (in place)."""
-    cp = np.asarray(prob.cam_params)
+    cp = np.asarray(prob.cam_params)[: len(cam_indices)]  # drop padded camera slots
     rec.rvecs[cam_indices] = cp[:, :3]
     rec.tvecs[cam_indices] = cp[:, 3:6]
     if cp.shape[1] >= CAM_DIM_INTR:
