@@ -104,18 +104,28 @@ def epnp(X: jnp.ndarray, uv: jnp.ndarray, w: jnp.ndarray | None = None, gn_iters
     return pose
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "sample_size", "refine_iters")
+)
 def pnp_ransac(
     key: jax.Array,
     X: jnp.ndarray,        # [M, 3] world points
     uv: jnp.ndarray,       # [M, 2] normalized image coords
     mask: jnp.ndarray,     # [M]
     num_hypotheses: int,
-    threshold_sq: float,
-    min_inliers: int,
+    threshold_sq: float,   # traced (per-image focal) — no recompile per image
+    min_inliers: int,      # traced
     sample_size: int = 8,
     refine_iters: int = 3,
 ):
-    """Batched RANSAC-EPnP + IRLS refinement. Returns (pose [6], inliers, n, ok)."""
+    """Batched RANSAC-EPnP + IRLS refinement. Returns (pose [6], inliers, n, ok).
+
+    Jitted as one program: the incremental engine calls this once per
+    registration, and eager dispatch would cost hundreds of host->device
+    round-trips per call."""
     from sfm_tpu.ops.ransac import ransac, irls_refit
 
     res = ransac(

@@ -184,15 +184,31 @@ def render_blob_scene(
             point_depth(jnp.asarray(children, dtype=jnp.float32), jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]))
         )
         sigma_px = scene.intrinsics[i, 0] * sizes / np.maximum(depth, 0.5)
-        img = np.full(h * w, 0.45, dtype=np.float32)
+        img = np.full((h, w), 0.45, dtype=np.float32)
         # Low-frequency background so the image is not flat.
-        img += 0.05 * np.sin(grid[:, 0] / 37.0) * np.cos(grid[:, 1] / 53.0)
-        chunk = 64
-        for s in range(0, len(children), chunk):
-            e = min(s + chunk, len(children))
-            d2 = ((grid[:, None, :] - uv[None, s:e]) ** 2).sum(-1)  # [HW, c]
-            img += (amps[s:e] * 0.35 * np.exp(-d2 / (2 * sigma_px[s:e] ** 2 + 1e-6))).sum(-1)
-        images.append(np.clip(img, 0.0, 1.0).reshape(h, w))
+        img += (0.05 * np.sin((np.arange(w) + 0.5) / 37.0))[None, :] * (
+            np.cos((np.arange(h) + 0.5) / 53.0)
+        )[:, None]
+        # Windowed splatting: each blob only touches its +-4 sigma box
+        # (truncation error < 3e-4 of amplitude) — orders of magnitude
+        # cheaper than full-image distance fields at ladder scales.
+        for c in range(len(children)):
+            sp = float(sigma_px[c])
+            if not np.isfinite(sp) or sp <= 0 or depth[c] <= 0.5:
+                continue
+            r = max(2, int(np.ceil(4.0 * sp)))
+            cx, cy = uv[c]
+            x0, x1 = int(np.floor(cx - r)), int(np.ceil(cx + r)) + 1
+            y0, y1 = int(np.floor(cy - r)), int(np.ceil(cy + r)) + 1
+            x0, x1 = max(x0, 0), min(x1, w)
+            y0, y1 = max(y0, 0), min(y1, h)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            xs = np.arange(x0, x1) + 0.5 - cx
+            ys = np.arange(y0, y1) + 0.5 - cy
+            d2 = ys[:, None] ** 2 + xs[None, :] ** 2
+            img[y0:y1, x0:x1] += amps[c] * 0.35 * np.exp(-d2 / (2 * sp * sp + 1e-6))
+        images.append(np.clip(img, 0.0, 1.0))
     return np.stack(images), scene
 
 
