@@ -10,13 +10,58 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from sfm_tpu.geometry.rotations import so3_log
-from sfm_tpu.geometry.cameras import make_intrinsics
-from sfm_tpu.geometry.projection import project, point_depth
+# Pure-numpy math throughout: test/benchmark fixtures must not touch the
+# accelerator (on the Axon backend every first-use eager op is a
+# multi-second remote compile — a fixture that used eager jnp cost minutes).
+
+
+def _np_rodrigues(rvec: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(rvec)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = rvec / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def _np_log_so3(R: np.ndarray) -> np.ndarray:
+    """SO(3) log via the quaternion route — stable across the full angle
+    range INCLUDING theta == pi (orbit cameras at angle 0 look along -z,
+    which is exactly a pi rotation; the naive trace formula returns 0 there)."""
+    m00, m11, m22 = R[0, 0], R[1, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    cands = np.array([
+        [1.0 + tr, R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]],
+        [R[2, 1] - R[1, 2], 1.0 + m00 - m11 - m22, R[0, 1] + R[1, 0], R[0, 2] + R[2, 0]],
+        [R[0, 2] - R[2, 0], R[0, 1] + R[1, 0], 1.0 - m00 + m11 - m22, R[1, 2] + R[2, 1]],
+        [R[1, 0] - R[0, 1], R[0, 2] + R[2, 0], R[1, 2] + R[2, 1], 1.0 - m00 - m11 + m22],
+    ])
+    pivots = np.array([1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22])
+    q = cands[int(np.argmax(pivots))]
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    w, v = q[0], q[1:]
+    vnorm = np.linalg.norm(v)
+    if vnorm < 1e-12:
+        return 2.0 * v / max(w, 1e-12)
+    theta = 2.0 * np.arctan2(vnorm, w)
+    return v * (theta / vnorm)
+
+
+def _np_project(points: np.ndarray, rvec: np.ndarray, tvec: np.ndarray, intr: np.ndarray):
+    """points [N,3] -> (pixels [N,2], depths [N]); matches geometry.project."""
+    R = _np_rodrigues(np.asarray(rvec, np.float64))
+    xc = points @ R.T + tvec
+    z = np.where(np.abs(xc[:, 2]) < 1e-8, np.where(xc[:, 2] < 0, -1e-8, 1e-8), xc[:, 2])
+    xy = xc[:, :2] / z[:, None]
+    r2 = (xy ** 2).sum(-1)
+    scale = 1.0 + r2 * (intr[4] + r2 * intr[5])
+    xy = xy * scale[:, None]
+    uv = xy * intr[:2][None, :] + intr[2:4][None, :]
+    return uv, xc[:, 2]
 
 
 @dataclass
@@ -76,25 +121,19 @@ def make_orbit_scene(
         angle = 2.0 * np.pi * arc_fraction * i / num_cameras
         center = np.array([radius * np.sin(angle), 0.3 * np.sin(2 * angle), radius * np.cos(angle)])
         R, t = look_at(center, np.zeros(3))
-        rvecs.append(np.asarray(so3_log(jnp.asarray(R, dtype=jnp.float32)), dtype=np.float64))
+        rvecs.append(_np_log_so3(R))
         tvecs.append(t)
     rvecs = np.stack(rvecs)
     tvecs = np.stack(tvecs)
 
     intr = np.tile(
-        np.asarray(make_intrinsics(focal, focal, w / 2.0, h / 2.0, k1), dtype=np.float64), (num_cameras, 1)
+        np.asarray([focal, focal, w / 2.0, h / 2.0, k1, 0.0], dtype=np.float64), (num_cameras, 1)
     )
 
-    # Exact projections via the framework's own (tested) projection.
-    pix = jax.vmap(
-        lambda rv, tv, ii: project(jnp.asarray(points), rv, tv, ii)
-    )(jnp.asarray(rvecs), jnp.asarray(tvecs), jnp.asarray(intr))
-    pix = np.asarray(pix)
-
-    depth = jax.vmap(lambda rv, tv: point_depth(jnp.asarray(points), rv, tv))(
-        jnp.asarray(rvecs), jnp.asarray(tvecs)
-    )
-    depth = np.asarray(depth)
+    pix = np.zeros((num_cameras, num_points, 2))
+    depth = np.zeros((num_cameras, num_points))
+    for i in range(num_cameras):
+        pix[i], depth[i] = _np_project(points, rvecs[i], tvecs[i], intr[i])
 
     visible = (
         (depth > 0.1)
@@ -175,13 +214,8 @@ def render_blob_scene(
     ys, xs = np.mgrid[0:h, 0:w]
     grid = np.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2).astype(np.float32)
     for i in range(num_images):
-        uv = np.asarray(
-            jax.vmap(lambda p: project(p, jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]), jnp.asarray(scene.intrinsics[i])))(
-                jnp.asarray(children, dtype=jnp.float32)
-            )
-        )
-        depth = np.asarray(
-            point_depth(jnp.asarray(children, dtype=jnp.float32), jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]))
+        uv, depth = _np_project(
+            children.astype(np.float64), scene.rvecs[i], scene.tvecs[i], scene.intrinsics[i].astype(np.float64)
         )
         sigma_px = scene.intrinsics[i, 0] * sizes / np.maximum(depth, 0.5)
         img = np.full((h, w), 0.45, dtype=np.float32)
@@ -245,8 +279,7 @@ def render_checkerboard_scene(
         uv = np.stack([xs + 0.5, ys + 0.5], axis=-1).astype(np.float64)
         fx, fy, cx, cy = scene.intrinsics[i, :4]
         xy_cam = np.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1)
-        from sfm_tpu.geometry.rotations import so3_exp
-        R = np.asarray(so3_exp(jnp.asarray(scene.rvecs[i], dtype=jnp.float32))).astype(np.float64)
+        R = _np_rodrigues(scene.rvecs[i].astype(np.float64))
         t = scene.tvecs[i].astype(np.float64)
         C = -R.T @ t
         dirs = (R.T @ np.concatenate([xy_cam, np.ones_like(xy_cam[..., :1])], -1).reshape(-1, 3).T).T
