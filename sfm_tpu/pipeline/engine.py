@@ -288,42 +288,49 @@ def incremental_reconstruct(
     since_global = 0
     retries_left = 2
     while True:
-        # Rank unregistered images by visible triangulated points.
+        # Rank unregistered images by visible triangulated points, then
+        # register a ROUND of the best candidates before re-triangulating and
+        # bundle-adjusting once — batching amortizes the device round trips
+        # that dominate per-registration latency (SURVEY.md §7 hard part 3:
+        # "avoid host-device ping-pong by batching candidate views per round").
         tr = st.tracks
         vis_rows = st.obs_alive & (st.track_point[tr.track_id] >= 0)
         cand_imgs = tr.obs_image[vis_rows]
         counts = np.bincount(cand_imgs, minlength=B)
         counts[st.registered | st.failed] = 0
         order = np.argsort(-counts)
-        progressed = False
-        for img in order[:5]:
+        round_size = max(1, min(cfg.engine.local_ba_window // 2, 3))
+        registered_round: list[int] = []
+        for img in order[:round_size + 2]:
+            if len(registered_round) >= round_size:
+                break
             if counts[img] < cfg.engine.abs_pose_min_inliers:
                 break
             key, sub = jax.random.split(key)
             if _pnp_register(st, int(img), cfg, sub):
-                progressed = True
-                recent.append(int(img))
-                n_new = _triangulate_new(st, cfg, cfg.verbose)
-                window = recent[-cfg.engine.local_ba_window:]
-                _run_ba(st, cfg, free_cams=np.asarray(window))
-                if cfg.engine.filter_every and (len(recent) % cfg.engine.filter_every == 0):
-                    _filter_observations(st, cfg)
-                since_global += 1
-                if since_global >= cfg.engine.global_ba_every:
-                    _run_ba(st, cfg)
-                    _filter_observations(st, cfg)
-                    _triangulate_new(st, cfg, cfg.verbose)
-                    since_global = 0
-                if cfg.verbose:
-                    pv = np.asarray(st.point_valid, bool)
-                    print(
-                        f"[sfm_tpu] registered image {img}: +{n_new} pts, "
-                        f"{int(st.registered.sum())}/{B} cams, {int(pv.sum())} pts"
-                    )
-                break
+                registered_round.append(int(img))
             else:
                 st.failed[img] = True
-        if not progressed:
+        if registered_round:
+            recent.extend(registered_round)
+            n_new = _triangulate_new(st, cfg, cfg.verbose)
+            window = recent[-cfg.engine.local_ba_window:]
+            _run_ba(st, cfg, free_cams=np.asarray(window))
+            if cfg.engine.filter_every:
+                _filter_observations(st, cfg)
+            since_global += len(registered_round)
+            if since_global >= cfg.engine.global_ba_every:
+                _run_ba(st, cfg)
+                _filter_observations(st, cfg)
+                _triangulate_new(st, cfg, cfg.verbose)
+                since_global = 0
+            if cfg.verbose:
+                pv = np.asarray(st.point_valid, bool)
+                print(
+                    f"[sfm_tpu] registered {registered_round}: +{n_new} pts, "
+                    f"{int(st.registered.sum())}/{B} cams, {int(pv.sum())} pts"
+                )
+        else:
             # Bounded retry rounds: failed images get another chance once the
             # map has grown (SURVEY.md §2.5 retriangulation/retry policy).
             if retries_left > 0 and st.failed.any() and st.registered.sum() > 2:
