@@ -33,7 +33,7 @@ def scene_to_reconstruction(scene, pose_noise=0.0, point_noise=0.0, seed=0) -> R
         point_valid=np.ones(M, bool),
         obs_point=obs[:, 1].astype(np.int32),
         obs_image=obs[:, 0].astype(np.int32),
-        obs_kp=np.zeros(len(obs), np.int32),
+        obs_kp=obs[:, 1].astype(np.int32),  # keypoint id == point id (unique per image)
         obs_uv=scene.pixels[obs[:, 0], obs[:, 1]].astype(np.float32),
     )
 

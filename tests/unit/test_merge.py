@@ -1,0 +1,63 @@
+"""Cluster merge: sim3 alignment + observation dedup (SURVEY.md §2.7)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.config import PipelineConfig
+from sfm_tpu.pipeline.merge import apply_sim3_to_reconstruction, merge_two, merge_reconstructions
+from sfm_tpu.utils.synthetic import make_orbit_scene, _np_rodrigues
+from tests.unit.test_ba import scene_to_reconstruction
+
+
+def test_apply_sim3_preserves_projections():
+    scene = make_orbit_scene(num_cameras=4, num_points=40, seed=30)
+    rec = scene_to_reconstruction(scene)
+    before = rec.reprojection_errors()
+    s, R, t = 2.5, _np_rodrigues(np.array([0.2, -0.3, 0.1])), np.array([1.0, -2.0, 0.5])
+    rec2 = apply_sim3_to_reconstruction(rec, s, R, t)
+    after = rec2.reprojection_errors()
+    # A similarity transform of the world is projectively invisible.
+    np.testing.assert_allclose(after, before, atol=2e-2)
+
+
+def test_merge_two_overlapping_halves():
+    scene = make_orbit_scene(num_cameras=10, num_points=80, noise_px=0.0, seed=31)
+    full = scene_to_reconstruction(scene)
+
+    def restrict(rec_like, cams):
+        rec = scene_to_reconstruction(scene)
+        keep_cam = np.zeros(scene.num_cameras, bool)
+        keep_cam[cams] = True
+        rec.registered = keep_cam
+        sel = keep_cam[rec.obs_image]
+        rec.obs_point, rec.obs_image = rec.obs_point[sel], rec.obs_image[sel]
+        rec.obs_kp, rec.obs_uv = rec.obs_kp[sel], rec.obs_uv[sel]
+        counts = np.bincount(rec.obs_point, minlength=len(rec.points))
+        rec.point_valid = counts >= 2
+        return rec
+
+    a = restrict(scene, list(range(0, 6)))         # cams 0-5
+    b = restrict(scene, list(range(3, 10)))        # cams 3-9 (overlap 3,4,5)
+    # Put b in a different gauge before merging.
+    b = apply_sim3_to_reconstruction(b, 0.5, _np_rodrigues(np.array([0.0, 0.7, 0.0])), np.array([3.0, 0.0, -1.0]))
+
+    merged = merge_two(a, b)
+    assert merged.num_registered == 10
+    # After merging, the whole thing must reproject like the original scene.
+    assert merged.mean_reprojection_error() < 0.1
+    # Shared tracks deduplicated: no duplicated (image, kp) observation.
+    keys = set(zip(merged.obs_image.tolist(), merged.obs_kp.tolist()))
+    assert len(keys) == merged.num_observations
+
+
+def test_merge_requires_shared_cameras():
+    scene = make_orbit_scene(num_cameras=8, num_points=40, seed=32)
+    a = scene_to_reconstruction(scene)
+    b = scene_to_reconstruction(scene)
+    a.registered[:] = False
+    a.registered[:4] = True
+    b.registered[:] = False
+    b.registered[6:] = True  # zero overlap
+    with pytest.raises(ValueError):
+        merge_two(a, b)
