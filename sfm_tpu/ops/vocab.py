@@ -24,25 +24,38 @@ import numpy as np
 from sfm_tpu.config import VocabConfig
 
 
-def _kmeans(key, data: jnp.ndarray, k: int, iters: int) -> jnp.ndarray:
-    """Spherical k-means on unit-norm descriptors. data [N, D] -> centers [k, D].
+import functools
 
-    Assignment = argmax data @ centers^T (MXU); update = masked mean.
-    Empty clusters are re-seeded from the least-well-represented points.
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans(key, data: jnp.ndarray, w: jnp.ndarray, k: int, iters: int) -> jnp.ndarray:
+    """Weighted spherical k-means on unit-norm descriptors.
+
+    data [N, D], w [N] (0 = padding row) -> centers [k, D]. Jitted with
+    static (k, iters): the tree build calls this once per node, and padded
+    subsets let every node at a size bucket share ONE compile (unbucketed,
+    the build triggered hundreds of remote recompiles).
+
+    Assignment = argmax data @ centers^T (MXU); update = weight-masked mean;
+    empty clusters re-seed from the least-well-represented valid points.
     """
     N, D = data.shape
-    idx = jax.random.choice(key, N, (k,), replace=False)
+    # Seed from valid rows: Gumbel-max over the weight mask.
+    g = jax.random.uniform(key, (N,))
+    seed_scores = jnp.where(w > 0, g, -1.0)
+    idx = jax.lax.top_k(seed_scores, k)[1]
     centers = data[idx]
 
     def step(centers, _):
         sim = data @ centers.T                          # [N, k] MXU
         assign = jnp.argmax(sim, axis=1)
-        onehot = jax.nn.one_hot(assign, k, dtype=data.dtype)  # [N, k]
+        onehot = jax.nn.one_hot(assign, k, dtype=data.dtype) * w[:, None]
         sums = onehot.T @ data                          # [k, D] MXU
         counts = jnp.sum(onehot, axis=0)
-        new = sums / jnp.maximum(counts[:, None], 1.0)
-        # Re-seed empties with the points farthest from their center.
-        far = data[jnp.argsort(jnp.max(sim, axis=1))[:k]]
+        new = sums / jnp.maximum(counts[:, None], 1e-8)
+        # Re-seed empties with the valid points farthest from their center.
+        far_scores = jnp.where(w > 0, -jnp.max(sim, axis=1), -jnp.inf)
+        far = data[jax.lax.top_k(far_scores, k)[1]]
         new = jnp.where(counts[:, None] > 0, new, far)
         new = new / jnp.maximum(jnp.linalg.norm(new, axis=1, keepdims=True), 1e-8)
         return new, None
@@ -80,24 +93,38 @@ class VocabTree:
         return node
 
 
-def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig) -> VocabTree:
-    """Hierarchical spherical k-means over training descriptors."""
+def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w: np.ndarray | None = None) -> VocabTree:
+    """Hierarchical spherical k-means over training descriptors.
+
+    train_w: optional [N] 0/1 weights — zero rows are padding (static-shape
+    callers pad their training sample to a bucket size)."""
     b, depth = cfg.branching, cfg.depth
+    if train_w is None:
+        train_w = np.ones(int(training_desc.shape[0]), np.float32)
     centers: list[jnp.ndarray] = []
-    # Level 0: one k-means over everything.
     assignments = jnp.zeros(training_desc.shape[0], dtype=jnp.int32)
     num_nodes = 1
+
+    def bucket(n: int) -> int:
+        cap = max(b, 64)
+        while cap < n:
+            cap *= 2
+        return cap
+
     for lvl in range(depth):
         lvl_centers = []
+        assign_np = np.asarray(assignments)
         for n in range(num_nodes):
-            sel = assignments == n
-            # Static-shape trick: weight-mask the data instead of gathering.
-            # For build-time simplicity we gather on host (tree build is a
-            # one-off, host-side cost like the reference's).
-            rows = np.where(np.asarray(sel))[0]
-            sub = training_desc[jnp.asarray(rows)] if len(rows) >= b else training_desc
+            rows = np.where((assign_np == n) & (train_w > 0))[0]
+            if len(rows) < b:
+                rows = np.arange(min(len(training_desc), max(b, len(rows))))
+            cap = bucket(len(rows))
+            sub = np.zeros((cap, training_desc.shape[1]), np.float32)
+            wts = np.zeros(cap, np.float32)
+            sub[: len(rows)] = np.asarray(training_desc[jnp.asarray(rows)])
+            wts[: len(rows)] = 1.0
             key, k2 = jax.random.split(key)
-            lvl_centers.append(_kmeans(k2, sub, b, cfg.kmeans_iters))
+            lvl_centers.append(_kmeans(k2, jnp.asarray(sub), jnp.asarray(wts), b, cfg.kmeans_iters))
         ctrs = jnp.concatenate(lvl_centers, axis=0)       # [num_nodes * b, D]
         centers.append(ctrs)
         # Re-assign all training descriptors to the new level's nodes.
@@ -113,9 +140,12 @@ def bow_vectors(tree: VocabTree, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
     desc [B, N, D], valid [B, N] -> L2-normalized [B, num_words].
     """
     B, N, D = desc.shape
+    W = tree.num_words
     words = tree.quantize(desc.reshape(B * N, D)).reshape(B, N)
-    onehot = jax.nn.one_hot(words, tree.num_words, dtype=jnp.float32)
-    tf = jnp.einsum("bnw,bn->bw", onehot, valid.astype(jnp.float32))   # [B, W]
+    # Term frequencies via segment_sum (a [B*N, W] one-hot would be GBs at
+    # default vocab sizes).
+    seg = (jnp.arange(B)[:, None] * W + words).reshape(-1)
+    tf = jax.ops.segment_sum(valid.reshape(-1).astype(jnp.float32), seg, B * W).reshape(B, W)
     # IDF from this corpus (reference-class trees bake IDF from training).
     df = jnp.sum(tf > 0, axis=0)
     idf = jnp.log(B / jnp.maximum(df, 1.0) + 1.0)
@@ -133,13 +163,14 @@ def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0) -> np.ndarray:
     valid = jnp.asarray(feats.valid)
     B, N, D = desc.shape
 
-    # Training sample: a slice of descriptors from every image.
+    # Training sample: a slice of descriptors from every image; invalid
+    # slots become zero-weight padding (static shapes, no data-dependent
+    # gathers).
     per = min(cfg.training_desc_per_image, N)
     train = desc[:, :per].reshape(B * per, D)
-    train_valid = np.asarray(valid[:, :per].reshape(-1))
-    train = train[jnp.asarray(np.where(train_valid)[0])]
+    train_w = np.asarray(valid[:, :per].reshape(-1)).astype(np.float32)
 
-    tree = build_vocab_tree(key, train, cfg)
+    tree = build_vocab_tree(key, train, cfg, train_w=train_w)
     bow = bow_vectors(tree, desc, valid)                 # [B, W]
     sim = np.array(bow @ bow.T)                          # [B, B] MXU (copy: mutated below)
     np.fill_diagonal(sim, -1.0)
