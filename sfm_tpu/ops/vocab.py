@@ -111,20 +111,35 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
             cap *= 2
         return cap
 
+    train_np = np.asarray(training_desc)
     for lvl in range(depth):
-        lvl_centers = []
         assign_np = np.asarray(assignments)
+        # Group nodes by padded bucket size and vmap one k-means call per
+        # group: the per-node calls are tiny, and on a high-latency device
+        # link 8^lvl sequential dispatches dominate the build.
+        node_rows = []
         for n in range(num_nodes):
             rows = np.where((assign_np == n) & (train_w > 0))[0]
             if len(rows) < b:
-                rows = np.arange(min(len(training_desc), max(b, len(rows))))
-            cap = bucket(len(rows))
-            sub = np.zeros((cap, training_desc.shape[1]), np.float32)
-            wts = np.zeros(cap, np.float32)
-            sub[: len(rows)] = np.asarray(training_desc[jnp.asarray(rows)])
-            wts[: len(rows)] = 1.0
+                rows = np.arange(min(len(train_np), max(b, len(rows))))
+            node_rows.append(rows)
+        caps = [bucket(len(r)) for r in node_rows]
+        lvl_centers: list = [None] * num_nodes
+        for cap in sorted(set(caps)):
+            group = [n for n in range(num_nodes) if caps[n] == cap]
+            sub = np.zeros((len(group), cap, train_np.shape[1]), np.float32)
+            wts = np.zeros((len(group), cap), np.float32)
+            for gi, n in enumerate(group):
+                rows = node_rows[n]
+                sub[gi, : len(rows)] = train_np[rows]
+                wts[gi, : len(rows)] = 1.0
             key, k2 = jax.random.split(key)
-            lvl_centers.append(_kmeans(k2, jnp.asarray(sub), jnp.asarray(wts), b, cfg.kmeans_iters))
+            keys = jax.random.split(k2, len(group))
+            outs = jax.vmap(lambda kk, s, w: _kmeans(kk, s, w, b, cfg.kmeans_iters))(
+                keys, jnp.asarray(sub), jnp.asarray(wts)
+            )
+            for gi, n in enumerate(group):
+                lvl_centers[n] = outs[gi]
         ctrs = jnp.concatenate(lvl_centers, axis=0)       # [num_nodes * b, D]
         centers.append(ctrs)
         # Re-assign all training descriptors to the new level's nodes.
