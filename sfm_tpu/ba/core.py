@@ -60,6 +60,65 @@ def _residual_one(cam: jnp.ndarray, point: jnp.ndarray, intr: jnp.ndarray, uv: j
     return project(point, cam[:3], cam[3:6], intr) - uv
 
 
+def _residual_jac_analytic(cam, pt, intr, uv):
+    """Hand-derived residual + Jacobian blocks for one observation.
+
+    The BA profile shows the normal-equation build (dominated by the
+    9/11-tangent jacfwd through the whole projection) is ~70% of an LM
+    iteration. Here the projection/distortion chain is differentiated in
+    closed form; only d(R X)/d(rvec) uses a 3-tangent jacfwd through
+    Rodrigues (cheap, and avoids hand-coding the SO(3) right Jacobian).
+    Validated against the full jacfwd in tests/unit/test_ba.py.
+
+    Returns (r [2], Jc [2, D], Jp [2, 3]).
+    """
+    from sfm_tpu.geometry.rotations import so3_exp
+
+    D = cam.shape[-1]
+    rvec, t = cam[:3], cam[3:6]
+    fx, fy, cx, cy, k1, k2 = (intr[i] for i in range(6))
+    if D >= 8:
+        sf = jnp.exp(cam[6])
+        fx = fx * sf
+        fy = fy * sf
+        k1 = k1 + cam[7]
+
+    R = so3_exp(rvec)
+    xc = R @ pt + t
+    z = xc[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
+    xy = xc[:2] / z_safe
+    r2 = xy @ xy
+    s = 1.0 + r2 * (k1 + r2 * k2)
+    xy_d = xy * s
+    f = jnp.stack([fx, fy])
+    uv_hat = xy_d * f + jnp.stack([cx, cy])
+    r = uv_hat - uv
+
+    # d(uv)/d(x_cam) = diag(f) @ [s I + xy (ds/dxy)^T] @ d(xy)/d(x_cam).
+    ds_dxy = (k1 + 2.0 * k2 * r2) * 2.0 * xy                       # [2]
+    D_dist = s * jnp.eye(2) + jnp.outer(xy, ds_dxy)                # [2, 2]
+    inv_z = 1.0 / z_safe
+    A_proj = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    ) * inv_z - jnp.outer(xy * inv_z, jnp.array([0.0, 0.0, 1.0]))  # [2, 3]
+    M = f[:, None] * (D_dist @ A_proj)                             # [2, 3]
+
+    Jp = M @ R                                                      # d r / d point
+    Jt = M                                                          # d r / d t
+    # d(R X)/d(rvec): 3-tangent jacfwd through Rodrigues only.
+    dRX = jax.jacfwd(lambda w: so3_exp(w) @ pt)(rvec)               # [3, 3]
+    Jr = M @ dRX                                                    # d r / d rvec
+    blocks = [Jr, Jt]
+    if D >= 8:
+        # d r / d log-focal-scale: uv - c scales with f.
+        blocks.append((xy_d * f)[:, None])
+        # d r / d k1-delta: uv = f * xy * s, ds/dk1 = r2.
+        blocks.append((f * xy * r2)[:, None])
+    Jc = jnp.concatenate(blocks, axis=1)                            # [2, D]
+    return r, Jc, Jp
+
+
 def residuals_and_jacobians(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig):
     """Per-observation robustified residuals and Jacobian blocks.
 
@@ -68,18 +127,8 @@ def residuals_and_jacobians(prob: BAProblem, cam_params: jnp.ndarray, points: jn
     cams_o = cam_params[prob.obs_cam]
     pts_o = points[prob.obs_point]
     intr_o = prob.intrinsics[prob.obs_cam]
-    D = cam_params.shape[-1]
 
-    # One fused jacfwd over [cam | point] shares the primal trace between the
-    # camera and point blocks (two separate jacfwd calls recompute it).
-    def res_cat(theta, intr, uv):
-        return _residual_one(theta[:D], theta[D:], intr, uv)
-
-    theta = jnp.concatenate([cams_o, pts_o], axis=-1)
-    r = jax.vmap(res_cat)(theta, intr_o, prob.obs_uv)
-    J = jax.vmap(jax.jacfwd(res_cat))(theta, intr_o, prob.obs_uv)  # [O, 2, D+3]
-    Jc = J[..., :D]
-    Jp = J[..., D:]
+    r, Jc, Jp = jax.vmap(_residual_jac_analytic)(cams_o, pts_o, intr_o, prob.obs_uv)
 
     s = jnp.sum(r * r, axis=-1)
     w = robust_weight(s, cfg.robust_loss, cfg.robust_scale_px) * prob.obs_w

@@ -159,3 +159,35 @@ def test_ba_intrinsics_freeze_flags():
     out, _ = core.bundle_adjust(prob, cfg)
     writeback(rec, out, cams, pts)
     np.testing.assert_array_equal(rec.intrinsics[:, 0], f0)  # focal frozen
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """The hand-derived residual/Jacobian blocks must equal full jacfwd
+    through the projection (both 6-wide and 8-wide camera blocks)."""
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.ba.core import _residual_one, _residual_jac_analytic
+
+    rng = np.random.default_rng(40)
+    for D in (6, 8):
+        for trial in range(5):
+            cam = np.zeros(D, np.float32)
+            cam[:3] = rng.normal(0, 0.6, 3)
+            cam[3:6] = rng.normal(0, 1.0, 3) + [0, 0, 4]
+            if D == 8:
+                cam[6] = rng.normal(0, 0.05)
+                cam[7] = rng.normal(0, 0.02)
+            pt = rng.uniform(-1, 1, 3).astype(np.float32)
+            intr = np.asarray([600, 590, 320, 240, -0.1, 0.02], np.float32)
+            uv = rng.uniform(0, 640, 2).astype(np.float32)
+
+            def res_cat(theta):
+                return _residual_one(theta[:D], theta[D:], jnp.asarray(intr), jnp.asarray(uv))
+
+            theta = jnp.asarray(np.concatenate([cam, pt]))
+            r_ref = res_cat(theta)
+            J_ref = jax.jacfwd(res_cat)(theta)
+            r, Jc, Jp = _residual_jac_analytic(jnp.asarray(cam), jnp.asarray(pt), jnp.asarray(intr), jnp.asarray(uv))
+            np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=1e-5, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(Jc), np.asarray(J_ref)[:, :D], rtol=2e-3, atol=0.05)
+            np.testing.assert_allclose(np.asarray(Jp), np.asarray(J_ref)[:, D:], rtol=2e-3, atol=0.05)
