@@ -155,6 +155,7 @@ class PipelineConfig:
     pair_mode: str = "exhaustive"       # "exhaustive" | "vocab_tree"
     seed: int = 0
     artifact_dir: str | None = None     # stage artifacts + resume (SURVEY.md §5.4)
+    profile_dir: str | None = None      # jax.profiler trace output (SURVEY.md §5.1)
     verbose: bool = True
 
 

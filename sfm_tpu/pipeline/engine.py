@@ -255,8 +255,12 @@ def _filter_observations(st: EngineState, cfg: PipelineConfig) -> int:
 
 
 def incremental_reconstruct(
-    feats: FeatureSet, graph: MatchGraph, intrinsics: np.ndarray, cfg: PipelineConfig
+    feats: FeatureSet, graph: MatchGraph, intrinsics: np.ndarray, cfg: PipelineConfig,
+    checkpoint_cb=None,
 ) -> Reconstruction:
+    """checkpoint_cb(step, reconstruction) is invoked every
+    cfg.engine.checkpoint_every registrations (SURVEY.md §5.3: elastic
+    recovery - a killed run resumes from the last SceneState snapshot)."""
     B, N = feats.valid.shape
     tracks = build_tracks(graph, B, N)
     if tracks.num_tracks == 0:
@@ -324,6 +328,11 @@ def incremental_reconstruct(
                 _filter_observations(st, cfg)
                 _triangulate_new(st, cfg, cfg.verbose)
                 since_global = 0
+            if checkpoint_cb is not None:
+                n_reg = int(st.registered.sum())
+                every = max(cfg.engine.checkpoint_every, 1)
+                if n_reg // every > (n_reg - len(registered_round)) // every:
+                    checkpoint_cb(n_reg, st.materialize())
             if cfg.verbose:
                 pv = np.asarray(st.point_valid, bool)
                 print(

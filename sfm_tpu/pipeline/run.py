@@ -17,7 +17,7 @@ _STREAMING_MIN_IMAGES = 33  # above this, decode streams chunk-by-chunk
 
 
 def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
-    timer = StageTimer(verbose=cfg.verbose)
+    timer = StageTimer(verbose=cfg.verbose, profile_dir=cfg.profile_dir)
 
     # Large path-based inputs stream through the feature stage (decode
     # prefetch overlapped with device extraction, SURVEY.md §7 hard part 7);
@@ -116,11 +116,22 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             else:
                 from sfm_tpu.pipeline.engine import incremental_reconstruct
 
-                rec = incremental_reconstruct(feats, graph, intrinsics, cfg)
+                ckpt_cb = None
+                if store is not None:
+                    def ckpt_cb(step, snapshot, _store=store, _key=key):
+                        _store.save_reconstruction(_key, snapshot, stage=f"scene_{step:04d}")
+
+                rec = incremental_reconstruct(feats, graph, intrinsics, cfg, checkpoint_cb=ckpt_cb)
     if store and not store.is_complete("reconstruction", key):
         store.save_reconstruction(key, rec)
 
     rec.image_names = names
+    if cfg.artifact_dir:
+        # Run manifest: per-stage wall-clock alongside the stage artifacts
+        # (SURVEY.md §5.1/§5.5 observability).
+        import os
+
+        timer.dump(os.path.join(cfg.artifact_dir, "stage_timings.json"))
     if cfg.verbose:
         print(f"[sfm_tpu] {rec.summary()}")
     return rec

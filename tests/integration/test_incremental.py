@@ -132,3 +132,25 @@ def test_track_lengths(ring_result):
     tl = rec.track_lengths()
     assert tl.max() >= 6  # long tracks survive across the ring
     assert (tl >= 2).all()
+
+
+def test_checkpoint_callback_fires(ring_result):
+    """SceneState snapshots every k registrations (SURVEY.md §5.3)."""
+    scene = make_orbit_scene(num_cameras=12, num_points=150, noise_px=0.0, seed=10, arc_fraction=1.0)
+    feats, graph = scene_to_features_and_graph(scene, noise=0.3, seed=11)
+    cfg = PipelineConfig(
+        engine=EngineConfig(local_ba_window=5, global_ba_every=6, checkpoint_every=4),
+        ransac=RansacConfig(num_hypotheses=512),
+        ba=BAConfig(max_iterations=20),
+        verbose=False,
+    )
+    snaps = []
+    rec = incremental_reconstruct(
+        feats, graph, scene.intrinsics.copy(), cfg,
+        checkpoint_cb=lambda step, snapshot: snaps.append((step, snapshot.num_registered)),
+    )
+    assert len(snaps) >= 2
+    steps = [s for s, _ in snaps]
+    assert steps == sorted(steps)
+    # Each snapshot is a self-consistent Reconstruction.
+    assert all(n >= 4 for _, n in snaps)
