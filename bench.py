@@ -37,8 +37,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 # forced to host before the clock stops.
 _BASELINE_NUMBERS = {
     "pairs_per_sec_per_chip": 87.0,   # jnp matcher, host-forced
-    "ba_lm_iters_per_sec": None,
-    "features_imgs_per_sec": None,
+    "ba_lm_iters_per_sec": 10.7,      # round-1 final (C=128, P=16k, O=131k, 16 CG)
+    "features_imgs_per_sec": 0.92,    # round-1 start (pre-kernel), 1024^2
 }
 
 # Production-ish shapes.
