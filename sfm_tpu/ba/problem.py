@@ -120,6 +120,14 @@ def build_problem(
     else:
         free_set = set(int(i) for i in free_cams)
         fixed = np.array([int(g) not in free_set for g in cam_indices] + [True] * (C_cap - C))
+        # Local-BA gauge: when every camera in the window is free (common
+        # early on, when all registered cameras fit in local_ba_window) the
+        # problem has a 7-DoF null space constrained only by LM damping.
+        # Anchor the two oldest cameras (6 DoF + scale) in that case.
+        if not fixed[:C].any():
+            fixed[0] = True
+            if C > 1:
+                fixed[1] = True
     fixed[C:] = True  # padded camera slots never move
 
     cp = np.concatenate([rec.rvecs[cam_indices], rec.tvecs[cam_indices]], axis=1)

@@ -117,11 +117,14 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
         # Group nodes by padded bucket size and vmap one k-means call per
         # group: the per-node calls are tiny, and on a high-latency device
         # link 8^lvl sequential dispatches dominate the build.
+        valid_rows = np.where(train_w > 0)[0]
         node_rows = []
         for n in range(num_nodes):
             rows = np.where((assign_np == n) & (train_w > 0))[0]
             if len(rows) < b:
-                rows = np.arange(min(len(train_np), max(b, len(rows))))
+                # Sparse node: pad the training set with other VALID rows only
+                # — zero-weight padding descriptors must never enter k-means.
+                rows = valid_rows[: max(b, len(rows))]
             node_rows.append(rows)
         caps = [bucket(len(r)) for r in node_rows]
         lvl_centers: list = [None] * num_nodes

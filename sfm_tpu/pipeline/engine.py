@@ -60,7 +60,10 @@ class EngineState:
         tr = self.tracks
         has_pt = self.track_point[tr.track_id] >= 0
         act = self.obs_alive & self.registered[tr.obs_image] & has_pt
-        act &= np.where(has_pt, pv[np.maximum(self.track_point[tr.track_id], 0)], False)
+        if len(pv):
+            act &= np.where(has_pt, pv[np.maximum(self.track_point[tr.track_id], 0)], False)
+        else:  # no points triangulated yet: an empty-but-valid Reconstruction
+            act[:] = False
         rows = np.where(act)[0]
         return Reconstruction(
             intrinsics=self.intrinsics,

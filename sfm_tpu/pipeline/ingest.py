@@ -49,6 +49,48 @@ def _load_file(path: str) -> np.ndarray:
     return img
 
 
+# EXIF tag ids (TIFF/EP standard).
+_TAG_EXIF_IFD = 0x8769
+_TAG_FOCAL_LENGTH = 0x920A          # rational, millimetres
+_TAG_FOCAL_35MM = 0xA405            # short, 35mm-equivalent focal length
+_TAG_FPX_RES = 0xA20E               # FocalPlaneXResolution (px per unit)
+_TAG_FP_RES_UNIT = 0xA210           # 2=inch, 3=cm, 4=mm, 5=um
+_FP_UNIT_MM = {2: 25.4, 3: 10.0, 4: 1.0, 5: 1e-3}
+
+
+def exif_focal_px(path: str) -> float | None:
+    """Focal length in ORIGINAL pixel units from EXIF metadata, or None.
+
+    Reference-class ingest seeds intrinsics from EXIF before falling back to
+    f = 1.2*max(w, h) (SURVEY.md §2.2). Two derivations, tried in order:
+      1. FocalLengthIn35mmFilm: f_px = f35 / 36mm * image_width_px.
+      2. FocalLength (mm) * FocalPlaneXResolution (px per unit): converts the
+         physical focal length through the sensor's pixel pitch.
+    Metadata is read without decoding pixel data (PIL lazy open).
+    """
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            width_px = im.size[0]
+            exif = im.getexif()
+            ifd = exif.get_ifd(_TAG_EXIF_IFD)
+    except Exception:
+        return None
+
+    f35 = ifd.get(_TAG_FOCAL_35MM)
+    if f35:
+        return float(f35) / 36.0 * float(width_px)
+
+    f_mm = ifd.get(_TAG_FOCAL_LENGTH)
+    xres = ifd.get(_TAG_FPX_RES)
+    unit_mm = _FP_UNIT_MM.get(int(ifd.get(_TAG_FP_RES_UNIT, 0) or 0))
+    if f_mm and xres and unit_mm:
+        px_per_mm = float(xres) / unit_mm
+        return float(f_mm) * px_per_mm
+    return None
+
+
 def load_images(images: Sequence, cfg: SiftConfig) -> ImageBatch:
     """images: dir path | list of paths | list of arrays -> padded batch."""
     if isinstance(images, (str, os.PathLike)):
@@ -58,15 +100,18 @@ def load_images(images: Sequence, cfg: SiftConfig) -> ImageBatch:
         )
         arrays = [_load_file(p) for p in paths]
         names = [os.path.basename(p) for p in paths]
+        focal_priors = [exif_focal_px(p) for p in paths]
     else:
-        arrays, names = [], []
+        arrays, names, focal_priors = [], [], []
         for i, im in enumerate(images):
             if isinstance(im, (str, os.PathLike)):
                 arrays.append(_load_file(str(im)))
                 names.append(os.path.basename(str(im)))
+                focal_priors.append(exif_focal_px(str(im)))
             else:
                 arrays.append(np.asarray(im))
                 names.append(f"image_{i:06d}")
+                focal_priors.append(None)
     if not arrays:
         raise ValueError("no images provided")
 
@@ -89,7 +134,10 @@ def load_images(images: Sequence, cfg: SiftConfig) -> ImageBatch:
         canvases[i, :h, :w] = g
         valid_hw[i] = (h, w)
         scales[i] = 1.0 / scale  # canvas px * scales -> original px
-        f = _FOCAL_PRIOR_FACTOR * max(h, w)
+        if focal_priors[i]:  # EXIF prior, converted to canvas pixel units
+            f = float(focal_priors[i]) * scale
+        else:
+            f = _FOCAL_PRIOR_FACTOR * max(h, w)
         intr[i] = (f, f, w / 2.0, h / 2.0, 0.0, 0.0)
 
     return ImageBatch(canvases=canvases, valid_hw=valid_hw, scales=scales, intrinsics=intr, names=names)

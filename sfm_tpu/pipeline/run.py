@@ -39,6 +39,7 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
                 feats = store.load_features()
                 meta = store.load("meta")
                 intrinsics, names = meta["intrinsics"], [str(n) for n in meta["names"]]
+                valid_hw = meta["valid_hw"]
             else:
                 feats, intrinsics, valid_hw, names = stages.extract_stage_streaming(paths, cfg)
                 if store:
@@ -52,6 +53,7 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
         with timer.stage("ingest"):
             batch = ingest.load_images(images, cfg.sift)
         intrinsics, names = batch.intrinsics, batch.names
+        valid_hw = batch.valid_hw
         num_images = len(batch.canvases)
 
         # Stage artifact cache (SURVEY.md §5.4): resume from completed stages.
@@ -126,6 +128,7 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
         store.save_reconstruction(key, rec)
 
     rec.image_names = names
+    rec.image_sizes = np.asarray(valid_hw)[:, ::-1].astype(np.int32)  # (w, h)
     if cfg.artifact_dir:
         # Run manifest: per-stage wall-clock alongside the stage artifacts
         # (SURVEY.md §5.1/§5.5 observability).

@@ -39,9 +39,24 @@ def write_colmap_text(rec: Reconstruction, out_dir: str) -> None:
     with open(os.path.join(out_dir, "cameras.txt"), "w") as f:
         f.write("# Camera list: CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
         for i in range(len(rec.intrinsics)):
-            fx, fy, cx, cy, k1, _k2 = rec.intrinsics[i]
-            w, h = int(round(cx * 2)), int(round(cy * 2))
-            f.write(f"{i + 1} SIMPLE_RADIAL {w} {h} {fx:.6f} {cx:.6f} {cy:.6f} {k1:.8f}\n")
+            fx, fy, cx, cy, k1, k2 = (float(v) for v in rec.intrinsics[i])
+            if rec.image_sizes is not None:
+                w, h = int(rec.image_sizes[i][0]), int(rec.image_sizes[i][1])
+            else:  # legacy fallback: principal point assumed centered
+                w, h = int(round(cx * 2)), int(round(cy * 2))
+            # Pick the COLMAP model that actually represents the intrinsics —
+            # never silently drop fy or k2.
+            if k1 == 0.0 and k2 == 0.0:
+                f.write(f"{i + 1} PINHOLE {w} {h} {fx:.6f} {fy:.6f} {cx:.6f} {cy:.6f}\n")
+            elif fx == fy and k2 == 0.0:
+                f.write(f"{i + 1} SIMPLE_RADIAL {w} {h} {fx:.6f} {cx:.6f} {cy:.6f} {k1:.8f}\n")
+            elif fx == fy:
+                f.write(f"{i + 1} RADIAL {w} {h} {fx:.6f} {cx:.6f} {cy:.6f} {k1:.8f} {k2:.8f}\n")
+            else:
+                f.write(
+                    f"{i + 1} OPENCV {w} {h} {fx:.6f} {fy:.6f} {cx:.6f} {cy:.6f} "
+                    f"{k1:.8f} {k2:.8f} 0.0 0.0\n"
+                )
 
     # Group observations by image for the POINTS2D lines.
     obs_by_image: dict[int, list[int]] = {}
@@ -49,6 +64,9 @@ def write_colmap_text(rec: Reconstruction, out_dir: str) -> None:
         for row, img in enumerate(rec.obs_image):
             obs_by_image.setdefault(int(img), []).append(row)
 
+    # POINT2D_IDX in points3D.txt TRACK[] must index into the image's
+    # POINTS2D line (0-based row order below), not the detector keypoint id.
+    point2d_idx = np.zeros(rec.num_observations, dtype=np.int64)
     with open(os.path.join(out_dir, "images.txt"), "w") as f:
         f.write("# Image list: IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n")
         for i in range(len(rec.registered)):
@@ -63,9 +81,10 @@ def write_colmap_text(rec: Reconstruction, out_dir: str) -> None:
             )
             rows = obs_by_image.get(i, [])
             parts = []
-            for r in rows:
+            for idx, r in enumerate(rows):
                 u, v = rec.obs_uv[r]
                 parts.append(f"{u:.3f} {v:.3f} {int(rec.obs_point[r]) + 1}")
+                point2d_idx[r] = idx
             f.write(" ".join(parts) + "\n")
 
     errs = rec.reprojection_errors() if rec.num_observations else np.zeros(0)
@@ -82,5 +101,5 @@ def write_colmap_text(rec: Reconstruction, out_dir: str) -> None:
             p = rec.points[pid]
             rows = track_rows.get(pid, [])
             err = float(np.mean([errs[r] for r in rows])) if rows else 0.0
-            track = " ".join(f"{int(rec.obs_image[r]) + 1} {int(rec.obs_kp[r])}" for r in rows)
+            track = " ".join(f"{int(rec.obs_image[r]) + 1} {int(point2d_idx[r])}" for r in rows)
             f.write(f"{pid + 1} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} 200 200 200 {err:.4f} {track}\n")

@@ -31,6 +31,7 @@ class Reconstruction:
     tvecs: np.ndarray               # [K, 3]
     registered: np.ndarray          # [K] bool
     image_names: list = field(default_factory=list)
+    image_sizes: np.ndarray = None  # [K, 2] (width, height) of the input canvases
 
     # Points.
     points: np.ndarray = None       # [P, 3]
