@@ -42,7 +42,13 @@ def shard_problem_by_camera(prob: BAProblem, num_shards: int) -> BAProblem:
 
     per_shard_rows = [np.where((shard_of_cam[obs_cam] == s) & (obs_w > 0))[0] for s in range(num_shards)]
     cap = max(1, max(len(r) for r in per_shard_rows))
-    cap = -(-cap // 8) * 8  # pad to a multiple of 8 sublanes
+    # Geometric capacity bucket (not just sublane alignment): the incremental
+    # engine calls this as the scene grows, and a data-dependent cap would
+    # recompile the sharded LM program on every invocation.
+    bucket = 256
+    while bucket < cap:
+        bucket *= 2
+    cap = bucket
 
     def pad_rows(rows):
         out = np.zeros(cap, np.int64)
@@ -64,11 +70,14 @@ def shard_problem_by_camera(prob: BAProblem, num_shards: int) -> BAProblem:
     )
 
 
-def bundle_adjust_sharded(prob: BAProblem, cfg: BAConfig, mesh: Mesh, axis: str = "shard"):
-    """Sharded LM; obs arrays must be pre-sharded (shard_problem_by_camera).
+from functools import lru_cache
 
-    Returns (updated problem, stats), parameters replicated.
-    """
+
+@lru_cache(maxsize=None)
+def _sharded_ba_fn(cfg: BAConfig, mesh: Mesh, axis: str):
+    """One jitted shard_map program per (config, mesh): the engine calls BA
+    every few registrations, so the compiled executable must be reused
+    (shapes inside still specialize via jit's own cache)."""
     obs_spec = P(axis)
     rep = P()
     in_specs = BAProblem(
@@ -82,4 +91,12 @@ def bundle_adjust_sharded(prob: BAProblem, cfg: BAConfig, mesh: Mesh, axis: str 
     def run(p):
         return bundle_adjust_impl(p, cfg, axis_name=axis)
 
-    return jax.jit(run)(prob)
+    return jax.jit(run)
+
+
+def bundle_adjust_sharded(prob: BAProblem, cfg: BAConfig, mesh: Mesh, axis: str = "shard"):
+    """Sharded LM; obs arrays must be pre-sharded (shard_problem_by_camera).
+
+    Returns (updated problem, stats), parameters replicated.
+    """
+    return _sharded_ba_fn(cfg, mesh, axis)(prob)

@@ -20,7 +20,7 @@ from sfm_tpu.geometry.cameras import pixel_to_camera
 from sfm_tpu.geometry.rotations import so3_exp
 from sfm_tpu.ops.pnp import pnp_ransac
 from sfm_tpu.ops.triangulate import triangulate_tracks
-from sfm_tpu.ba import build_problem, writeback, bundle_adjust
+from sfm_tpu.ba import build_problem, writeback, dispatch_bundle_adjust
 from sfm_tpu.pipeline.stages import FeatureSet, MatchGraph
 from sfm_tpu.scene.tracks import build_tracks, TrackSet
 from sfm_tpu.scene.state import Reconstruction
@@ -216,7 +216,7 @@ def _run_ba(st: EngineState, cfg: PipelineConfig, free_cams=None) -> None:
     # lack the coverage to constrain focal/distortion.
     refine = free_cams is None and (cfg.ba.refine_focal or cfg.ba.refine_distortion)
     prob, cams, pids = build_problem(rec, free_cams=free_cams, refine_intrinsics=refine)
-    out, stats = bundle_adjust(prob, cfg.ba)
+    out, stats = dispatch_bundle_adjust(prob, cfg)
     writeback(rec, out, cams, pids)
     st.rvecs[:] = rec.rvecs
     st.tvecs[:] = rec.tvecs

@@ -114,9 +114,9 @@ def partitioned_reconstruct(
     merged = merge_reconstructions(recs, cfg)
 
     if cfg.partition.merge_global_ba and merged.num_points > 4:
-        from sfm_tpu.ba import build_problem, bundle_adjust, writeback
+        from sfm_tpu.ba import build_problem, dispatch_bundle_adjust, writeback
 
         prob, cams, pids = build_problem(merged)
-        out, _ = bundle_adjust(prob, cfg.ba)
+        out, _ = dispatch_bundle_adjust(prob, cfg)
         writeback(merged, out, cams, pids)
     return merged

@@ -21,6 +21,45 @@ from sfm_tpu.pipeline.ingest import ImageBatch
 _FEATURE_CHUNK = 8  # images per device batch in the feature stage
 
 
+def _feature_extractor(cfg: PipelineConfig):
+    """(chunk_size, fn(canvases, valid_hw) -> Features) for the feature stage.
+
+    Multi-chip: DP over images (SURVEY.md §2.9) — each chunk is sharded
+    across the mesh with shard_map and every chip extracts its resident
+    images; per-image extraction is embarrassingly parallel so the sharded
+    outputs equal the single-chip ones exactly. The compiled callable is
+    cached per (sift config, mesh) via _dp_extract_fn.
+    """
+    n = cfg.shard.num_devices
+    if n > 1:
+        import jax
+
+        if jax.device_count() >= n:
+            return _FEATURE_CHUNK * n, _dp_extract_fn(cfg.sift, n, cfg.shard.mesh_axis)
+    return _FEATURE_CHUNK, lambda c, hw: extract_features(c, cfg.sift, hw)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _dp_extract_fn(sift_cfg, n_devices: int, axis: str):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sfm_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh(n_devices, axis)
+    fn = shard_map(
+        lambda c, hw: extract_features(c, sift_cfg, hw),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 @dataclass
 class FeatureSet:
     """Host-side features for all images (canvas pixel coords)."""
@@ -50,17 +89,18 @@ class MatchGraph:
 
 def extract_stage(batch: ImageBatch, cfg: PipelineConfig) -> FeatureSet:
     B = batch.canvases.shape[0]
+    chunk, extract = _feature_extractor(cfg)
     outs = []
-    for s in range(0, B, _FEATURE_CHUNK):
-        e = min(s + _FEATURE_CHUNK, B)
+    for s in range(0, B, chunk):
+        e = min(s + chunk, B)
         # Pad the last chunk to the fixed batch size (one compile).
-        pad = _FEATURE_CHUNK - (e - s)
+        pad = chunk - (e - s)
         canv = batch.canvases[s:e]
         hw = batch.valid_hw[s:e]
         if pad:
             canv = np.concatenate([canv, np.zeros((pad, *canv.shape[1:]), canv.dtype)])
             hw = np.concatenate([hw, np.zeros((pad, 2), hw.dtype)])
-        f = extract_features(jnp.asarray(canv), cfg.sift, jnp.asarray(hw))
+        f = extract(jnp.asarray(canv), jnp.asarray(hw))
         outs.append(jax.tree.map(lambda a: np.asarray(a)[: e - s], f))
     return FeatureSet(
         xy=np.concatenate([o.xy for o in outs]),
@@ -79,16 +119,17 @@ def extract_stage_streaming(paths: list, cfg: PipelineConfig):
     (FeatureSet, intrinsics [B,6], valid_hw [B,2], names)."""
     from sfm_tpu.pipeline.ingest import iter_image_chunks
 
+    chunk, extract = _feature_extractor(cfg)
     outs, intr, hw, names = [], [], [], []
-    for batch in iter_image_chunks(paths, cfg.sift, _FEATURE_CHUNK):
+    for batch in iter_image_chunks(paths, cfg.sift, chunk):
         n = len(batch.names)
         canv = batch.canvases
         vhw = batch.valid_hw
-        pad = _FEATURE_CHUNK - n
+        pad = chunk - n
         if pad:
             canv = np.concatenate([canv, np.zeros((pad, *canv.shape[1:]), canv.dtype)])
             vhw = np.concatenate([vhw, np.zeros((pad, 2), vhw.dtype)])
-        f = extract_features(jnp.asarray(canv), cfg.sift, jnp.asarray(vhw))
+        f = extract(jnp.asarray(canv), jnp.asarray(vhw))
         outs.append(jax.tree.map(lambda a: np.asarray(a)[:n], f))
         intr.append(batch.intrinsics)
         hw.append(batch.valid_hw)

@@ -108,9 +108,9 @@ def bootstrap_two_view(
 
     # Two-view bundle adjustment (SURVEY.md §2.5 bootstrap step).
     if n >= 8:
-        from sfm_tpu.ba import build_problem, bundle_adjust, writeback
+        from sfm_tpu.ba import build_problem, dispatch_bundle_adjust, writeback
 
         prob, cams, pids = build_problem(rec)
-        out, _ = bundle_adjust(prob, cfg.ba)
+        out, _ = dispatch_bundle_adjust(prob, cfg)
         writeback(rec, out, cams, pids)
     return rec

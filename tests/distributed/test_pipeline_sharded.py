@@ -46,3 +46,46 @@ def test_ring_match_pairs_agree_with_blockwise():
         feats, pairs_r, batch.intrinsics, cfg, seed=0, prematched=(pi, pj, pv)
     )
     assert graph.ok.sum() >= 4
+
+
+def test_dp_feature_extraction_equals_single_chip():
+    """DP extraction over the 8-device mesh is exactly the single-chip output
+    (SURVEY.md §2.9 DP features — per-image work, no cross-image coupling)."""
+    imgs, _ = render_blob_scene(image_size=(128, 128), num_images=16, arc_fraction=0.08, num_blobs=60)
+    base = PipelineConfig(
+        sift=SiftConfig(max_keypoints=128, max_candidates=512, num_octaves=2, image_max_dim=128),
+        verbose=False,
+    )
+    batch = ingest.load_images(list(imgs), base.sift)
+    f1 = stages.extract_stage(batch, base)
+    f8 = stages.extract_stage(batch, dataclasses.replace(base, shard=ShardConfig(num_devices=8)))
+    np.testing.assert_array_equal(f1.valid, f8.valid)
+    np.testing.assert_allclose(f1.xy, f8.xy, atol=1e-5)
+    np.testing.assert_allclose(f1.desc, f8.desc, atol=1e-5)
+
+
+def test_full_pipeline_sharded_equals_single_device():
+    """reconstruct() with shard.num_devices=8 uses DP features + ring
+    matching + camera-sharded BA end-to-end and matches the single-device
+    reconstruction (VERDICT r1 item 2; SURVEY.md §2.7/M4)."""
+    import sfm_tpu
+
+    imgs, scene = render_blob_scene(image_size=(128, 128), num_images=8, arc_fraction=0.10, num_blobs=80)
+    base = PipelineConfig(
+        sift=SiftConfig(max_keypoints=256, max_candidates=1024, num_octaves=2, image_max_dim=128),
+        match=MatchConfig(max_matches=128, min_matches=8),
+        ransac=RansacConfig(num_hypotheses=256, min_inliers=10, error_threshold_px=2.0),
+        verbose=False,
+    )
+    rec1 = sfm_tpu.reconstruct(list(imgs), base)
+    cfg8 = dataclasses.replace(base, shard=ShardConfig(num_devices=8))
+    rec8 = sfm_tpu.reconstruct(list(imgs), cfg8)
+
+    # Same registration outcome; reconstruction quality equivalent. (The
+    # sharded BA reorders observation reductions, so poses agree to fp32
+    # reduction tolerance, not bitwise.)
+    np.testing.assert_array_equal(rec1.registered, rec8.registered)
+    assert rec8.num_points >= 0.9 * rec1.num_points
+    e1 = rec1.mean_reprojection_error()
+    e8 = rec8.mean_reprojection_error()
+    assert e8 < max(1.5 * e1, e1 + 0.1), (e1, e8)
