@@ -278,6 +278,37 @@ def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig, axis_n
     return x
 
 
+def _dense_schur_solve(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig) -> jnp.ndarray:
+    """Dense-Cholesky reduced camera solver for small scenes (SURVEY.md §2.6:
+    "dense cholesky path for <=~500 cams").
+
+    PCG pays cfg.cg_iterations sequential device steps regardless of problem
+    size — at small C that latency dominates the solve. Here S is
+    materialized column-block-wise through the same implicit matvec
+    (batched: one dispatch per 32 columns instead of one per CG step), then
+    factorized. Jacobi equilibration keeps the fp32 Cholesky well-scaled
+    (damped-but-fixed camera blocks sit ~1e-6 while active blocks can be
+    ~1e+6).
+    """
+    C, D = rhs.shape
+    K = C * D
+    chunk = 32
+    K_pad = -(-K // chunk) * chunk
+    # Unit vectors e_i reshaped to [C, D]; by symmetry S e_i is row i of S.
+    eye = jnp.eye(K_pad, K).reshape(K_pad // chunk, chunk, C, D)
+
+    def cols(vblk):
+        return jax.vmap(lambda v: _schur_matvec(ne, prob, v, None))(vblk).reshape(chunk, K)
+
+    S = jax.lax.map(cols, eye).reshape(K_pad, K)[:K]
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+    inv_d = 1.0 / d
+    S_eq = S * inv_d[:, None] * inv_d[None, :] + 1e-6 * jnp.eye(K)
+    cf = jax.scipy.linalg.cho_factor(S_eq, lower=True)
+    y = jax.scipy.linalg.cho_solve(cf, rhs.reshape(K) * inv_d)
+    return (y * inv_d).reshape(C, D)
+
+
 def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """dp = Hpp^-1 (bp - W^T dc)."""
     u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
@@ -301,11 +332,19 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
         _, _, lam, it, done, _ = state
         return (it < cfg.max_iterations) & jnp.logical_not(done)
 
+    # Reduced-system solver choice is static (num_cameras is a trace-time
+    # shape): dense Cholesky for small camera counts, PCG above the cutoff
+    # or when sharded (SURVEY.md §2.6 reduced-system solver).
+    use_dense = axis_name is None and prob.num_cameras <= cfg.dense_schur_max_cameras
+
     def body(state):
         cam_params, points, lam, it, _, cost = state
         ne = build_normal_equations(prob, cam_params, points, lam, cfg, axis_name)
         rhs = _schur_rhs(ne, prob, axis_name)
-        dc = _pcg(ne, prob, rhs, cfg, axis_name)
+        if use_dense:
+            dc = _dense_schur_solve(ne, prob, rhs, cfg)
+        else:
+            dc = _pcg(ne, prob, rhs, cfg, axis_name)
         dp = _back_substitute(ne, prob, dc, axis_name)
         dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
         dp = jnp.where(prob.point_fixed[:, None], 0.0, dp)

@@ -159,6 +159,14 @@ def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int
     valid = np.asarray(res.valid)[: len(cand)]
     pts = np.asarray(res.points)[: len(cand)]
     new = np.where(valid)[0]
+    # Scene-state point budget (EngineConfig.max_points): keep the best
+    # candidates that fit; the rest stay untriangulated (track_point = -1)
+    # and can be picked up after filtering frees capacity.
+    budget = cfg.engine.max_points - len(st.points)
+    if len(new) > budget:
+        if cfg.verbose:
+            print(f"[sfm_tpu] point budget hit: dropping {len(new) - budget} of {len(new)} new points")
+        new = new[:max(budget, 0)]
     st.track_point[cand[new]] = len(st.points) + np.arange(len(new))
     st.points.extend(pts[new])
     st.point_valid.extend([True] * len(new))
@@ -265,9 +273,20 @@ def incremental_reconstruct(
     cfg.engine.checkpoint_every registrations (SURVEY.md §5.3: elastic
     recovery - a killed run resumes from the last SceneState snapshot)."""
     B, N = feats.valid.shape
+    if B > cfg.engine.max_images:
+        raise ValueError(
+            f"{B} images exceeds EngineConfig.max_images={cfg.engine.max_images}; "
+            "raise the capacity or enable partitioning (PartitionConfig)"
+        )
     tracks = build_tracks(graph, B, N)
     if tracks.num_tracks == 0:
         raise RuntimeError("no tracks: match/verify produced no usable edges")
+    if len(tracks.obs_image) > cfg.engine.max_observations:
+        raise ValueError(
+            f"{len(tracks.obs_image)} track observations exceed "
+            f"EngineConfig.max_observations={cfg.engine.max_observations}; "
+            "raise the capacity, prune the match graph, or partition"
+        )
 
     st = EngineState(
         feats=feats,
@@ -293,6 +312,7 @@ def incremental_reconstruct(
     key = jax.random.PRNGKey(cfg.seed + 1)
     recent: list[int] = list(graph.pairs[edge])
     since_global = 0
+    since_retri = 0
     retries_left = 2
     while True:
         # Rank unregistered images by visible triangulated points, then
@@ -326,11 +346,20 @@ def incremental_reconstruct(
             if cfg.engine.filter_every:
                 _filter_observations(st, cfg)
             since_global += len(registered_round)
+            since_retri += len(registered_round)
             if since_global >= cfg.engine.global_ba_every:
                 _run_ba(st, cfg)
                 _filter_observations(st, cfg)
                 _triangulate_new(st, cfg, cfg.verbose)
                 since_global = 0
+                since_retri = 0
+            elif cfg.engine.retriangulate_every and since_retri >= cfg.engine.retriangulate_every:
+                # Periodic retriangulation between global BAs (SURVEY.md §2.5
+                # outlier filtering / retriangulation): re-filter and retry
+                # tracks whose points were dropped or never triangulated.
+                _filter_observations(st, cfg)
+                _triangulate_new(st, cfg, cfg.verbose)
+                since_retri = 0
             if checkpoint_cb is not None:
                 n_reg = int(st.registered.sum())
                 every = max(cfg.engine.checkpoint_every, 1)

@@ -5,6 +5,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sfm_tpu.config import BAConfig
 from sfm_tpu.ba.problem import BAProblem, build_problem, writeback
@@ -110,6 +111,22 @@ def test_local_ba_respects_window():
     moved = np.abs(cp_after - cp_before).max(axis=1) > 1e-7
     assert not moved[:4].any()   # fixed cameras untouched
     assert moved[4:].all()       # windowed cameras optimized
+
+
+def test_dense_and_pcg_reduced_solvers_agree():
+    """SURVEY.md §2.6: dense Cholesky (small scenes) and PCG must solve the
+    same reduced system — final costs and poses agree."""
+    scene = make_orbit_scene(num_cameras=12, num_points=200, noise_px=0.5, seed=6)
+    rec = scene_to_reconstruction(scene, pose_noise=0.01, point_noise=0.03, seed=7)
+    prob, _, _ = build_problem(rec)
+    dense_cfg = BAConfig(max_iterations=15, robust_loss="none", dense_schur_max_cameras=512)
+    pcg_cfg = BAConfig(max_iterations=15, robust_loss="none", dense_schur_max_cameras=0)
+    out_d, st_d = core.bundle_adjust(prob, dense_cfg)
+    out_p, st_p = core.bundle_adjust(prob, pcg_cfg)
+    assert float(st_d.final_cost) == pytest.approx(float(st_p.final_cost), rel=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(out_d.cam_params), np.asarray(out_p.cam_params), atol=5e-3
+    )
 
 
 def test_ba_robust_loss_resists_outliers():
