@@ -77,7 +77,11 @@ class RansacConfig:
     min_inliers: int = 15               # edges below this are rejected
     confidence: float = 0.9999          # documents the sizing of num_hypotheses
     refine_iters: int = 5               # Gauss-Newton polish on inliers
-    degenerate_h_ratio: float = 0.9     # H-inliers/E-inliers above this => planar-degenerate
+    degenerate_h_ratio: float = 0.8     # H-inliers/E-inliers at/above this =>
+                                        # planar-degenerate (COLMAP-class gate)
+    model: str = "essential"            # "essential" (calibrated) | "fundamental"
+                                        # (uncalibrated: F-RANSAC in pixels, pose
+                                        # upgraded through the focal prior)
 
 
 @dataclass(frozen=True)

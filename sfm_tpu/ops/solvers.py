@@ -17,7 +17,137 @@ in tests/oracle/).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+# --- Batched small linear algebra -------------------------------------------
+#
+# RANSAC scores O(1k) hypotheses per pair and each hypothesis needs a
+# null-space extraction (9x9) and essential-manifold projections (3x3).
+# LAPACK-style eigh/svd are iterative and dominate the verify stage when
+# vmapped per hypothesis (round-1 profile: 11x slower than the OpenCV CPU
+# oracle). These closed-form/fixed-iteration replacements are pure arithmetic
+# — they vmap to dense batched element-wise ops and matmuls with no
+# data-dependent control flow.
+
+
+def _nullvec9(A: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Approximate smallest eigenvector of A^T A for A [N, 9].
+
+    Inverse iteration: one 9x9 Cholesky of (A^T A + eps*I) plus three
+    triangular-solve sweeps. With eps ~ 1e-7*tr, the smallest eigendirection
+    is amplified by ~lambda_1/eps per sweep, so three sweeps are far past
+    fp32 convergence. Replaces eigh(9x9) per RANSAC hypothesis.
+    """
+    if w is not None:
+        A = A * w[:, None]
+    AtA = A.T @ A
+    eps = 1e-7 * (jnp.trace(AtA) + 1e-12)
+    L = jnp.linalg.cholesky(AtA + eps * jnp.eye(9, dtype=A.dtype))
+    x = jnp.full((9,), 1.0 / 3.0, A.dtype)
+    for _ in range(3):
+        y = jax.scipy.linalg.solve_triangular(L, x, lower=True)
+        x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        x = x / jnp.maximum(jnp.linalg.norm(x), 1e-20)
+    return x
+
+
+def _eigvals3_sym(A: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Eigenvalues of symmetric 3x3 A, descending (Cardano/trigonometric)."""
+    q = jnp.trace(A) / 3.0
+    B = A - q * jnp.eye(3, dtype=A.dtype)
+    p2 = jnp.sum(B * B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = (
+        B[0, 0] * (B[1, 1] * B[2, 2] - B[1, 2] * B[2, 1])
+        - B[0, 1] * (B[1, 0] * B[2, 2] - B[1, 2] * B[2, 0])
+        + B[0, 2] * (B[1, 0] * B[2, 1] - B[1, 1] * B[2, 0])
+    )
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_hi = q + 2.0 * p * jnp.cos(phi)
+    lam_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_hi - lam_lo
+    return lam_hi, lam_mid, lam_lo
+
+
+def _smallest_eigvec3(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric 3x3 A.
+
+    (A - l0 I)(A - l1 I) annihilates the two larger eigenspaces, so its
+    largest column lies in the smallest one (Cayley-Hamilton). Well-defined
+    whenever the smallest eigenvalue is separated — exactly the case for
+    E^T E / F^T F null directions.
+    """
+    l0, l1, _ = _eigvals3_sym(A)
+    eye = jnp.eye(3, dtype=A.dtype)
+    P = (A - l0 * eye) @ (A - l1 * eye)
+    norms = jnp.sum(P * P, axis=0)
+    pick = jax.nn.one_hot(jnp.argmax(norms), 3, dtype=A.dtype)
+    v = P @ pick
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+
+
+def _orthobasis_from_null(v2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two unit vectors completing v2 to a right-handed orthonormal basis."""
+    # Axis least aligned with v2 (branchless pick).
+    a = jax.nn.one_hot(jnp.argmin(jnp.abs(v2)), 3, dtype=v2.dtype)
+    v0 = jnp.cross(v2, a)
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-20)
+    v1 = jnp.cross(v2, v0)
+    return v0, v1
+
+
+def svd3_twoview(M: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SVD M = U diag(s) V^T of an (approximately) rank-2 3x3 matrix.
+
+    Built from the analytic null directions: v2 = smallest eigvec of M^T M,
+    u2 = smallest eigvec of M M^T; the leading columns come from completing
+    v2 to a basis and pushing it through M. Exact for rank-2 matrices (the
+    essential/fundamental case); U and V are proper rotations. Replaces
+    jnp.linalg.svd per hypothesis.
+    """
+    v2 = _smallest_eigvec3(M.T @ M)
+    v0, v1 = _orthobasis_from_null(v2)
+    m0 = M @ v0
+    m1 = M @ v1
+    s0 = jnp.linalg.norm(m0)
+    # Gram-Schmidt u1 against u0: for exactly-rank-2 M they are already
+    # orthogonal; for noisy M this keeps U orthonormal.
+    u0 = m0 / jnp.maximum(s0, 1e-20)
+    m1p = m1 - jnp.dot(m1, u0) * u0
+    s1 = jnp.linalg.norm(m1p)
+    u1 = m1p / jnp.maximum(s1, 1e-20)
+    u2 = jnp.cross(u0, u1)
+    s2 = jnp.abs(jnp.dot(u2, M @ v2))
+    U = jnp.stack([u0, u1, u2], axis=1)
+    V = jnp.stack([v0, v1, v2], axis=1)
+    return U, jnp.stack([s0, s1, s2]), V
+
+
+def project_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Nearest essential matrix: singular values -> (s, s, 0), s = mean."""
+    U, s, V = svd3_twoview(E)
+    sm = (s[0] + s[1]) * 0.5
+    return sm * (jnp.outer(U[:, 0], V[:, 0]) + jnp.outer(U[:, 1], V[:, 1]))
+
+
+def _inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate/det) — vmaps without LU."""
+    c00 = M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1]
+    c01 = M[0, 2] * M[2, 1] - M[0, 1] * M[2, 2]
+    c02 = M[0, 1] * M[1, 2] - M[0, 2] * M[1, 1]
+    c10 = M[1, 2] * M[2, 0] - M[1, 0] * M[2, 2]
+    c11 = M[0, 0] * M[2, 2] - M[0, 2] * M[2, 0]
+    c12 = M[0, 2] * M[1, 0] - M[0, 0] * M[1, 2]
+    c20 = M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0]
+    c21 = M[0, 1] * M[2, 0] - M[0, 0] * M[2, 1]
+    c22 = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    det = M[0, 0] * c00 + M[0, 1] * c10 + M[0, 2] * c20
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.array([[c00, c01, c02], [c10, c11, c12], [c20, c21, c22]])
+    return adj / det
 
 
 def hartley_normalize(x: jnp.ndarray, w: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -38,15 +168,6 @@ def hartley_normalize(x: jnp.ndarray, w: jnp.ndarray | None = None) -> tuple[jnp
     return (x - mean) * scale, T
 
 
-def _nullvec9(A: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Smallest eigenvector of A^T A for A [N, 9] (optionally row-weighted)."""
-    if w is not None:
-        A = A * w[:, None]
-    AtA = A.T @ A
-    _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
-    return V[:, 0]
-
-
 def _epipolar_rows(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """Rows of the 8-point constraint matrix: x2^T F x1 = 0. [N, 9]."""
     u1, v1 = x1[:, 0], x1[:, 1]
@@ -61,9 +182,11 @@ def fundamental_8pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = No
     x2n, T2 = hartley_normalize(x2, w)
     f = _nullvec9(_epipolar_rows(x1n, x2n), w)
     F = f.reshape(3, 3)
-    # Rank-2 enforcement.
-    U, S, Vt = jnp.linalg.svd(F)
-    F = (U * S.at[2].set(0.0)[None, :]) @ Vt
+    # Rank-2 enforcement: subtract the rank-1 component along the left/right
+    # null directions (analytic; no full SVD per hypothesis).
+    u2 = _smallest_eigvec3(F @ F.T)
+    v2 = _smallest_eigvec3(F.T @ F)
+    F = F - jnp.outer(u2, v2) * (u2 @ F @ v2)
     F = T2.T @ F @ T1
     return F / jnp.maximum(jnp.abs(F[2, 2]), 1e-12) * jnp.sign(F[2, 2] + 1e-30)
 
@@ -75,9 +198,8 @@ def essential_8pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None
     """
     e = _nullvec9(_epipolar_rows(x1, x2), w)
     E = e.reshape(3, 3)
-    U, S, Vt = jnp.linalg.svd(E)
-    s = (S[0] + S[1]) * 0.5
-    return (U * jnp.array([1.0, 1.0, 0.0])[None, :]) @ Vt * jnp.where(s > 0, 1.0, 1.0)
+    U, _, V = svd3_twoview(E)
+    return jnp.outer(U[:, 0], V[:, 0]) + jnp.outer(U[:, 1], V[:, 1])
 
 
 def essential_from_rt(params: jnp.ndarray) -> jnp.ndarray:
@@ -147,7 +269,7 @@ def homography_4pt(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = Non
     ww = None if w is None else jnp.concatenate([w, w], axis=0)
     h = _nullvec9(A, ww)
     H = h.reshape(3, 3)
-    H = jnp.linalg.inv(T2) @ H @ T1
+    H = _inv3(T2) @ H @ T1
     return H / jnp.where(jnp.abs(H[2, 2]) > 1e-12, H[2, 2], 1e-12)
 
 
@@ -233,10 +355,9 @@ def decompose_essential(
     front of BOTH cameras, plus the per-candidate vote. x1/x2 normalized
     coords. Returns (rmat [3,3], t [3], positive-depth count).
     """
-    U, _, Vt = jnp.linalg.svd(E)
-    # Proper rotations.
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    # svd3_twoview builds U, V as proper rotations by construction.
+    U, _, V = svd3_twoview(E)
+    Vt = V.T
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
     Ra = U @ W @ Vt
     Rb = U @ W.T @ Vt
@@ -251,6 +372,88 @@ def decompose_essential(
     n = jnp.stack([votes(cands_R[i], cands_t[i]) for i in range(4)])
     best = jnp.argmax(n)
     return cands_R[best], cands_t[best], n[best]
+
+
+def decompose_homography(
+    Hn: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Calibrated homography -> relative pose (SURVEY.md §2.4 H/E degeneracy).
+
+    Hn maps normalized camera coords of view 1 to view 2 (x2h ~ Hn x1h),
+    i.e. Hn ~ R + t n^T / d for a plane n^T X = d in the cam-1 frame.
+    Faugeras/Zhang SVD decomposition, the four d' > 0 solutions; the
+    physical one is picked by the positive-depth + plane-visibility vote
+    over the masked correspondences. Batched-friendly: all analytic 3x3
+    work, no LAPACK. Planar bootstrap for H-degenerate pairs — the E path
+    is ill-conditioned there, while this recovers (R, t) exactly.
+
+    Returns (R [3,3], unit t [3], plane normal n [3] in cam 1, votes, valid).
+    valid is False for (near-)pure-rotation pairs, where translation is
+    unobservable and the pair is useless for triangulation.
+    """
+    A = Hn.T @ Hn
+    l0, l1, l2 = _eigvals3_sym(A)
+    l0 = jnp.maximum(l0, 1e-20)
+    l1 = jnp.clip(l1, 1e-20, l0)
+    l2 = jnp.clip(l2, 1e-20, l1)
+    eye = jnp.eye(3, dtype=Hn.dtype)
+
+    def eigvec(la, lb):
+        P = (A - la * eye) @ (A - lb * eye)
+        pick = jax.nn.one_hot(jnp.argmax(jnp.sum(P * P, axis=0)), 3, dtype=A.dtype)
+        v = P @ pick
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+
+    v0 = eigvec(l1, l2)          # largest eigenvalue direction
+    v2 = eigvec(l0, l1)          # smallest
+    v1 = jnp.cross(v2, v0)       # middle (orthogonal complement), det(V)=+1
+    V = jnp.stack([v0, v1, v2], axis=1)
+    d1, d2, d3 = jnp.sqrt(l0), jnp.sqrt(l1), jnp.sqrt(l2)
+    U = jnp.stack([Hn @ v0 / d1, Hn @ v1 / d2, Hn @ v2 / d3], axis=1)
+    s = jnp.sign(
+        U[:, 0] @ jnp.cross(U[:, 1], U[:, 2])
+    )  # det(U); det(V) = +1 by construction
+
+    # Enough parallax/structure to separate translation from rotation? For a
+    # pure rotation all three singular values coincide (up to match noise
+    # ~px_noise/focal); genuine translation spreads them by ~|t|/d. The 5e-3
+    # cut rejects rotation-only and near-zero-baseline pairs, both useless
+    # for triangulation.
+    valid = (d1 - d3) / jnp.maximum(d2, 1e-20) > 5e-3
+
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-20)
+    xa = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    xc = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+    sin_t = (d1 - d3) * xa * xc / d2
+    cos_t = (d1 * xc * xc + d3 * xa * xa) / d2
+
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+
+    def candidate(e1, e3):
+        st = e1 * e3 * sin_t
+        Rp = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], Hn.dtype)
+        Rp = Rp.at[0, 0].set(cos_t).at[0, 2].set(-st)
+        Rp = Rp.at[2, 0].set(st).at[2, 2].set(cos_t)
+        R = s * (U @ Rp @ V.T)
+        tp = (d1 - d3) * jnp.array([e1, 0.0, 0.0]) * xa + (d1 - d3) * jnp.array([0.0, 0.0, -1.0]) * e3 * xc
+        t = U @ tp
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-20)
+        n = V @ jnp.array([e1, 0.0, 0.0]) * xa + V @ jnp.array([0.0, 0.0, 1.0]) * e3 * xc
+        # Convention: plane on the visible side of camera 1 (n . x1h > 0).
+        flip = jnp.sign(jnp.sum(jnp.where(mask, x1h @ n, 0.0)))
+        flip = jnp.where(flip == 0, 1.0, flip)
+        n = n * flip
+        z1, z2 = two_view_depths(R, t, x1, x2)
+        votes = jnp.sum((z1 > 0) & (z2 > 0) & mask & (x1h @ n > 0))
+        return R, t, n, votes
+
+    cands = [candidate(e1, e3) for e1 in (1.0, -1.0) for e3 in (1.0, -1.0)]
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    ns = jnp.stack([c[2] for c in cands])
+    vs = jnp.stack([c[3] for c in cands])
+    best = jnp.argmax(vs)
+    return Rs[best], ts[best], ns[best], vs[best], valid
 
 
 def refine_essential_gn(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
@@ -274,8 +477,8 @@ def refine_essential_gn(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, w: jnp
 
     def project_manifold(evec):
         Em = evec.reshape(3, 3)
-        U, _, Vt = jnp.linalg.svd(Em)
-        return ((U * jnp.array([1.0, 1.0, 0.0])[None, :]) @ Vt).reshape(9)
+        U, _, V = svd3_twoview(Em)
+        return (jnp.outer(U[:, 0], V[:, 0]) + jnp.outer(U[:, 1], V[:, 1])).reshape(9)
 
     def cost(evec):
         r = sampson_res(evec)

@@ -1,10 +1,17 @@
-"""Two-view geometric verification stage (SURVEY.md §3.3).
+"""Two-view geometric verification stage (SURVEY.md §3.3, §2.4).
 
-For each matched pair: batched RANSAC over the essential matrix (calibrated
-path), plus a homography RANSAC whose inlier ratio flags planar/rotational
-degeneracy (reference-class H/F degeneracy test), then relative pose by E
-decomposition with the cheirality vote. Fundamental-matrix verification is
-available for the uncalibrated path. One jit serves a whole pair block.
+For each matched pair, one jit region runs:
+  - model RANSAC: essential (calibrated path, default) or fundamental
+    (uncalibrated path: F in pixels, pose upgraded through the focal prior
+    E = K2^T F K1) — config-switched via RansacConfig.model;
+  - homography RANSAC, whose inlier ratio is the reference-class H/E
+    planar-degeneracy statistic;
+  - the degeneracy gate (RansacConfig.degenerate_h_ratio): pairs whose H
+    support dominates are planar or rotation-only — the E estimate is
+    ambiguous there, so the pose is recovered from the HOMOGRAPHY
+    decomposition instead (Faugeras SVD + cheirality/plane vote), and
+    pure-rotation pairs (no parallax) are rejected outright;
+  - relative pose by E decomposition with the cheirality vote otherwise.
 """
 
 from __future__ import annotations
@@ -34,6 +41,19 @@ class TwoViewGeometry(NamedTuple):
     E: jnp.ndarray           # [P, 3, 3] essential matrices
 
 
+def _kmat(intr: jnp.ndarray) -> jnp.ndarray:
+    K = jnp.eye(3, dtype=intr.dtype)
+    return K.at[0, 0].set(intr[0]).at[1, 1].set(intr[1]).at[0, 2].set(intr[2]).at[1, 2].set(intr[3])
+
+
+def _kinv(intr: jnp.ndarray) -> jnp.ndarray:
+    K = jnp.eye(3, dtype=intr.dtype)
+    return (
+        K.at[0, 0].set(1.0 / intr[0]).at[1, 1].set(1.0 / intr[1])
+        .at[0, 2].set(-intr[2] / intr[0]).at[1, 2].set(-intr[3] / intr[1])
+    )
+
+
 def verify_pair(
     key: jax.Array,
     uv1: jnp.ndarray, uv2: jnp.ndarray, mask: jnp.ndarray,
@@ -47,44 +67,109 @@ def verify_pair(
     f1 = (intr1[0] + intr1[1]) * 0.5
     f2 = (intr2[0] + intr2[1]) * 0.5
     thr_norm = (cfg.error_threshold_px / f1) * (cfg.error_threshold_px / f2)
+    thr_px = cfg.error_threshold_px ** 2
 
     k_e, k_h = jax.random.split(key)
-    res_e = ransac(
-        k_e, x1, x2, mask,
-        # 4 GN polish steps per hypothesis: 3 recovers most of the manifold
-        # projection error, the LO refit below does the precision work.
-        solver=lambda a, b: solvers.essential_minimal(a, b, gn_iters=4),
-        error_fn=solvers.sampson_error,
-        sample_size=8,
-        num_hypotheses=cfg.num_hypotheses,
-        threshold_sq=thr_norm,
-        min_inliers=cfg.min_inliers,
-    )
-    E, inl = irls_refit(
-        res_e.model, x1, x2, mask,
-        fit_fn=lambda a, b, w: solvers.essential_minimal(a, b, w),
-        error_fn=solvers.sampson_error,
-        threshold_sq=thr_norm,
-        iters=cfg.refine_iters,
-    )
+    if cfg.model == "fundamental":
+        # Uncalibrated path (SURVEY.md §1.4): 8-point F-RANSAC on raw pixels,
+        # then upgrade to E through the prior intrinsics and re-collect the
+        # consensus set on normalized coordinates.
+        res_f = ransac(
+            k_e, uv1, uv2, mask,
+            solver=solvers.fundamental_8pt,
+            error_fn=solvers.sampson_error,
+            sample_size=8,
+            num_hypotheses=cfg.num_hypotheses,
+            threshold_sq=thr_px,
+            min_inliers=cfg.min_inliers,
+        )
+        F, _ = irls_refit(
+            res_f.model, uv1, uv2, mask,
+            fit_fn=solvers.fundamental_8pt,
+            error_fn=solvers.sampson_error,
+            threshold_sq=thr_px,
+            iters=cfg.refine_iters,
+        )
+        E0 = solvers.project_essential(_kmat(intr2).T @ F @ _kmat(intr1))
+        E, inl = irls_refit(
+            E0, x1, x2, mask,
+            fit_fn=lambda a, b, w: solvers.essential_minimal(a, b, w),
+            error_fn=solvers.sampson_error,
+            threshold_sq=thr_norm,
+            iters=2,
+        )
+    else:
+        res_e = ransac(
+            k_e, x1, x2, mask,
+            # 4 GN polish steps per hypothesis: 3 recovers most of the manifold
+            # projection error, the LO refit below does the precision work.
+            solver=lambda a, b: solvers.essential_minimal(a, b, gn_iters=4),
+            error_fn=solvers.sampson_error,
+            sample_size=8,
+            num_hypotheses=cfg.num_hypotheses,
+            threshold_sq=thr_norm,
+            min_inliers=cfg.min_inliers,
+        )
+        E, inl = irls_refit(
+            res_e.model, x1, x2, mask,
+            fit_fn=lambda a, b, w: solvers.essential_minimal(a, b, w),
+            error_fn=solvers.sampson_error,
+            threshold_sq=thr_norm,
+            iters=cfg.refine_iters,
+        )
     n_e = jnp.sum(inl)
 
-    # Homography support on pixel coords (degeneracy check).
+    # Homography support on pixel coords (degeneracy check + planar pose).
     res_h = ransac(
         k_h, uv1, uv2, mask,
         solver=solvers.homography_4pt,
         error_fn=solvers.homography_error,
         sample_size=4,
         num_hypotheses=cfg.num_hypotheses // 2,
-        threshold_sq=cfg.error_threshold_px**2,
+        threshold_sq=thr_px,
         min_inliers=cfg.min_inliers,
     )
+    # LS refit on the H consensus set: a minimal 4-point H carries enough
+    # noise to fake parallax, which both degrades the planar pose and defeats
+    # the pure-rotation singular-value gate below.
+    H, inl_h = irls_refit(
+        res_h.model, uv1, uv2, mask,
+        fit_fn=solvers.homography_4pt,
+        error_fn=solvers.homography_error,
+        threshold_sq=thr_px,
+        iters=2,
+    )
+    n_h = jnp.sum(inl_h)
 
     R, t, n_cheiral = solvers.decompose_essential(E, x1, x2, inl)
-    rvec = matrix_to_aa(R)
+    ok_e = (n_e >= cfg.min_inliers) & (n_cheiral >= jnp.maximum(n_e // 2, 1))
 
-    ok = (n_e >= cfg.min_inliers) & (n_cheiral >= jnp.maximum(n_e // 2, 1))
-    return rvec, t, inl, n_e, res_h.num_inliers, ok, E
+    # Degeneracy gate (RansacConfig.degenerate_h_ratio): when H explains the
+    # pair as well as E, the epipolar geometry is ambiguous (planar scene or
+    # rotation-only motion). Recover the pose from the homography
+    # decomposition; reject the edge if that fails (pure rotation).
+    h_ratio = n_h.astype(jnp.float32) / jnp.maximum(n_e.astype(jnp.float32), 1.0)
+    planar = h_ratio >= cfg.degenerate_h_ratio
+    Hn = _kinv(intr2) @ H @ _kmat(intr1)
+    # Vote over ALL matches, not only H-inliers: off-plane points are the
+    # tiebreaker between the two valid planar interpretations (for exactly
+    # coplanar scenes the twofold ambiguity is inherent to two views).
+    R_h, t_h, _n_plane, h_votes, h_valid = solvers.decompose_homography(
+        Hn, x1, x2, mask
+    )
+    ok_h = (n_h >= cfg.min_inliers) & h_valid & (h_votes >= jnp.maximum(n_h // 2, 1))
+
+    use_h = planar & ok_h
+    R = jnp.where(use_h, R_h, R)
+    t = jnp.where(use_h, t_h, t)
+    inl = jnp.where(use_h, inl_h, inl)
+    n_out = jnp.where(use_h, n_h, n_e)
+    ok = jnp.where(planar, ok_h, ok_e)
+    rvec = matrix_to_aa(R)
+    # Downstream guided matching consumes E; keep it consistent with the
+    # pose actually reported.
+    E = jnp.where(use_h, solvers.essential_from_rt(jnp.concatenate([rvec, t])), E)
+    return rvec, t, inl, n_out, n_h, ok, E
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -94,7 +94,12 @@ def select_init_pair(graph: MatchGraph, cfg: PipelineConfig) -> int | None:
         # Fallback: relax the inlier bar but keep the degeneracy gate.
         ok = graph.ok & (h_ratio <= cfg.engine.init_max_h_ratio)
         if not ok.any():
-            return None
+            # Fully planar scene: every edge is H-dominated, but verify kept
+            # only edges whose pose survived the homography decomposition —
+            # bootstrap from the best-supported one.
+            ok = graph.ok.copy()
+            if not ok.any():
+                return None
     score = np.where(ok, graph.num_inliers * (1.0 - 0.5 * h_ratio), -1)
     return int(np.argmax(score))
 

@@ -145,6 +145,25 @@ def extract_stage_streaming(paths: list, cfg: PipelineConfig):
     return feats, np.concatenate(intr), np.concatenate(hw), names
 
 
+# Keep the whole feature set resident on the matching chip below this size
+# (10k images x 4096 kp x 128-D fp32 would be ~20GB — stream those instead).
+_DEVICE_FEATURE_CACHE_BYTES = 4 << 30
+
+
+@jax.jit
+def _gather_uv(xy: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-pair keypoint-coordinate gather, on device. [P,N,2],[P,M]->[P,M,2]."""
+    return jnp.take_along_axis(xy, idx[..., None], axis=1)
+
+
+def _bucket_keypoints(n: int, cap: int) -> int:
+    """Power-of-2 keypoint-axis bucket in [512, cap] covering n."""
+    b = 512
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
 def exhaustive_pairs(num_images: int) -> np.ndarray:
     """All N(N-1)/2 pairs (i < j)."""
     ii, jj = np.triu_indices(num_images, k=1)
@@ -205,6 +224,29 @@ def match_and_verify_stage(
     out_tvec = np.zeros((E, 3), np.float32)
     out_ok = np.zeros(E, bool)
 
+    # Keypoints are response-sorted with validity masks, so when no image
+    # fills the static budget the tail is pure padding: bucket the keypoint
+    # axis down to the occupancy (power-of-2, floor 512) and skip that work
+    # in the Gram matmuls entirely. Indices are prefix-stable.
+    N_eff = _bucket_keypoints(int(feats.valid.sum(axis=1).max()), feats.valid.shape[1])
+    feats = FeatureSet(
+        xy=feats.xy[:, :N_eff], sigma=feats.sigma[:, :N_eff],
+        angle=feats.angle[:, :N_eff], response=feats.response[:, :N_eff],
+        desc=feats.desc[:, :N_eff], valid=feats.valid[:, :N_eff],
+    )
+
+    # Each image participates in O(N) pairs: shipping its descriptors to the
+    # device once and gathering per block ON DEVICE beats re-transferring
+    # them per pair block (host->device traffic was the dominant match-stage
+    # cost). Falls back to host slicing when the feature set would not fit
+    # comfortably on one chip.
+    on_device = feats.desc.nbytes + feats.xy.nbytes <= _DEVICE_FEATURE_CACHE_BYTES
+    if on_device:
+        desc_all = jnp.asarray(feats.desc)
+        valid_all = jnp.asarray(feats.valid)
+        xy_all = jnp.asarray(feats.xy)
+        intr_all = jnp.asarray(intrinsics.astype(np.float32))
+
     base_key = jax.random.PRNGKey(seed)
     for s in range(0, E, P):
         e = min(s + P, E)
@@ -212,10 +254,22 @@ def match_and_verify_stage(
         pad = P - len(blk)
         if pad:
             blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1))])
-        di = jnp.asarray(feats.desc[blk[:, 0]])
-        vi = jnp.asarray(feats.valid[blk[:, 0]])
-        dj = jnp.asarray(feats.desc[blk[:, 1]])
-        vj = jnp.asarray(feats.valid[blk[:, 1]])
+        if on_device:
+            bi = jnp.asarray(blk[:, 0])
+            bj = jnp.asarray(blk[:, 1])
+            di, vi = desc_all[bi], valid_all[bi]
+            dj, vj = desc_all[bj], valid_all[bj]
+            xy_i, xy_j = xy_all[bi], xy_all[bj]
+            intr_i, intr_j = intr_all[bi], intr_all[bj]
+        else:
+            di = jnp.asarray(feats.desc[blk[:, 0]])
+            vi = jnp.asarray(feats.valid[blk[:, 0]])
+            dj = jnp.asarray(feats.desc[blk[:, 1]])
+            vj = jnp.asarray(feats.valid[blk[:, 1]])
+            xy_i = jnp.asarray(feats.xy[blk[:, 0]])
+            xy_j = jnp.asarray(feats.xy[blk[:, 1]])
+            intr_i = jnp.asarray(intrinsics[blk[:, 0]])
+            intr_j = jnp.asarray(intrinsics[blk[:, 1]])
         if prematched is not None:
             pi, pj, pv = prematched
             pad_rows = np.tile(np.arange(s, e)[-1:], max(P - (e - s), 0))
@@ -227,31 +281,20 @@ def match_and_verify_stage(
         else:
             pm = match_block(di, vi, dj, vj, cfg.match)
 
-        uv_i = np.take_along_axis(feats.xy[blk[:, 0]], np.asarray(pm.idx_i)[..., None], axis=1)
-        uv_j = np.take_along_axis(feats.xy[blk[:, 1]], np.asarray(pm.idx_j)[..., None], axis=1)
+        uv_i = _gather_uv(xy_i, pm.idx_i)
+        uv_j = _gather_uv(xy_j, pm.idx_j)
         # Deterministic per-pair keys from the global pair index (SURVEY.md §5.2).
         keys = jax.vmap(lambda t: jax.random.fold_in(base_key, t))(jnp.arange(s, s + P))
-        geom = verify_block(
-            keys,
-            jnp.asarray(uv_i), jnp.asarray(uv_j), pm.valid,
-            jnp.asarray(intrinsics[blk[:, 0]]), jnp.asarray(intrinsics[blk[:, 1]]),
-            cfg.ransac,
-        )
+        geom = verify_block(keys, uv_i, uv_j, pm.valid, intr_i, intr_j, cfg.ransac)
         if cfg.match.guided:
             # Guided re-match (SURVEY.md §2.4): densify verified edges with
             # epipolar-gated matching under the just-estimated E; gated
             # matches are inliers by construction.
             from sfm_tpu.ops.match import guided_match_block
-            from sfm_tpu.geometry.rotations import so3_exp
-            import jax.numpy as jnp2
 
             pm_g = guided_match_block(
-                di, jnp.asarray(feats.valid[blk[:, 0]]),
-                jnp.asarray(feats.xy[blk[:, 0]]),
-                dj, jnp.asarray(feats.valid[blk[:, 1]]),
-                jnp.asarray(feats.xy[blk[:, 1]]),
-                geom.E,
-                jnp.asarray(intrinsics[blk[:, 0]]), jnp.asarray(intrinsics[blk[:, 1]]),
+                di, vi, xy_i, dj, vj, xy_j,
+                geom.E, intr_i, intr_j,
                 cfg.match,
             )
             use = np.asarray(geom.ok)

@@ -1,0 +1,162 @@
+"""Planar-degenerate and uncalibrated verification paths (SURVEY.md §1.4,
+§2.4): homography pose recovery, the degenerate_h_ratio gate, pure-rotation
+rejection, and F-RANSAC with focal-prior pose upgrade."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.config import RansacConfig
+from sfm_tpu.geometry.rotations import so3_exp
+from sfm_tpu.ops.solvers import decompose_homography
+from sfm_tpu.ops.verify import verify_block
+
+FOCAL, CX = 400.0, 256.0
+INTR = np.array([FOCAL, FOCAL, CX, CX, 0.0, 0.0], np.float32)
+
+
+def _pose(rng, rot=0.08, trans=0.6):
+    rv = rng.normal(0, rot, 3).astype(np.float32)
+    R = np.asarray(so3_exp(jnp.asarray(rv)))
+    t = rng.normal(0, 1, 3).astype(np.float32)
+    t *= trans / np.linalg.norm(t)
+    return R, t
+
+
+def _project(X, R, t):
+    Xc = X @ R.T + t
+    return Xc[:, :2] / Xc[:, 2:3], Xc[:, 2]
+
+
+def _pixels(x):
+    return (x * FOCAL + CX).astype(np.float32)
+
+
+def _planar_pair(rng, n_plane, n_off, noise_px=0.3):
+    """Correspondences: n_plane points on z=5 plane + n_off off-plane."""
+    Xp = np.concatenate(
+        [rng.uniform(-2, 2, (n_plane, 2)), np.full((n_plane, 1), 5.0)], axis=1
+    )
+    Xo = np.concatenate(
+        [rng.uniform(-2, 2, (n_off, 2)), rng.uniform(3.0, 8.0, (n_off, 1))], axis=1
+    )
+    X = np.concatenate([Xp, Xo]).astype(np.float32)
+    R, t = _pose(rng)
+    x1, z1 = _project(X, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    x2, z2 = _project(X, R, t)
+    uv1 = _pixels(x1) + rng.normal(0, noise_px, x1.shape).astype(np.float32)
+    uv2 = _pixels(x2) + rng.normal(0, noise_px, x2.shape).astype(np.float32)
+    return uv1, uv2, R, t
+
+
+def _rot_err_deg(Ra, Rb):
+    return np.degrees(np.arccos(np.clip((np.trace(Ra.T @ Rb) - 1) / 2, -1, 1)))
+
+
+def _t_err_deg(ta, tb):
+    ta = ta / np.linalg.norm(ta)
+    tb = tb / np.linalg.norm(tb)
+    return np.degrees(np.arccos(np.clip(abs(ta @ tb), -1, 1)))
+
+
+def test_decompose_homography_offplane_tiebreak():
+    """With off-plane votes, the twofold planar ambiguity resolves to the
+    true motion."""
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        n_plane, n_off = 60, 25
+        Xp = np.concatenate([rng.uniform(-2, 2, (n_plane, 2)), np.full((n_plane, 1), 5.0)], 1)
+        Xo = np.concatenate([rng.uniform(-2, 2, (n_off, 2)), rng.uniform(2.5, 9.0, (n_off, 1))], 1)
+        X = np.concatenate([Xp, Xo]).astype(np.float32)
+        R, t = _pose(rng)
+        x1, _ = _project(X, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        x2, _ = _project(X, R, t)
+        n = np.array([0.0, 0.0, 1.0], np.float32)
+        H = (R + np.outer(t, n) / 5.0).astype(np.float32)
+        Rr, tr, nr, votes, valid = decompose_homography(
+            jnp.asarray(H), jnp.asarray(x1.astype(np.float32)),
+            jnp.asarray(x2.astype(np.float32)), jnp.asarray(np.ones(len(X), bool)),
+        )
+        assert bool(valid)
+        assert _rot_err_deg(np.asarray(Rr), R) < 0.5, trial
+        assert _t_err_deg(np.asarray(tr), t) < 1.0, trial
+
+
+def _run_verify(uv1, uv2, cfg):
+    M = uv1.shape[0]
+    keys = jax.random.PRNGKey(0)[None]
+    geom = verify_block(
+        keys,
+        jnp.asarray(uv1)[None], jnp.asarray(uv2)[None],
+        jnp.ones((1, M), bool),
+        jnp.asarray(INTR)[None], jnp.asarray(INTR)[None],
+        cfg,
+    )
+    return jax.tree.map(lambda a: np.asarray(a)[0], geom)
+
+
+def test_verify_planar_pair_uses_homography_pose():
+    """A dominantly-planar pair trips the degeneracy gate and still yields an
+    accurate pose (from H decomposition) — the edge stays usable."""
+    rng = np.random.default_rng(5)
+    uv1, uv2, R, t = _planar_pair(rng, n_plane=150, n_off=8, noise_px=0.2)
+    cfg = RansacConfig(num_hypotheses=512, min_inliers=15, error_threshold_px=2.0)
+    geom = _run_verify(uv1, uv2, cfg)
+    assert geom.num_h_inliers / max(geom.num_inliers, 1) > cfg.degenerate_h_ratio or geom.ok
+    assert bool(geom.ok)
+    R_est = np.asarray(so3_exp(jnp.asarray(geom.rvec)))
+    assert _rot_err_deg(R_est, R) < 1.0
+    assert _t_err_deg(geom.tvec, t) < 3.0
+
+
+def test_verify_pure_rotation_pair_rejected():
+    """Rotation-only motion: H explains everything, no parallax exists —
+    the degeneracy gate must drop the edge (nothing can be triangulated)."""
+    rng = np.random.default_rng(7)
+    X = np.concatenate([rng.uniform(-2, 2, (120, 2)), rng.uniform(3, 9, (120, 1))], 1).astype(np.float32)
+    R, _ = _pose(rng)
+    x1, _ = _project(X, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    x2, _ = _project(X, R, np.zeros(3, np.float32))
+    uv1 = _pixels(x1) + rng.normal(0, 0.2, x1.shape).astype(np.float32)
+    uv2 = _pixels(x2) + rng.normal(0, 0.2, x2.shape).astype(np.float32)
+    cfg = RansacConfig(num_hypotheses=512, min_inliers=15, error_threshold_px=2.0)
+    geom = _run_verify(uv1, uv2, cfg)
+    assert not bool(geom.ok)
+
+
+def test_verify_fundamental_path_recovers_pose():
+    """Uncalibrated path (RansacConfig.model='fundamental'): F-RANSAC in
+    pixels, pose upgraded through the focal prior."""
+    rng = np.random.default_rng(11)
+    X = np.concatenate([rng.uniform(-2, 2, (200, 2)), rng.uniform(3, 9, (200, 1))], 1).astype(np.float32)
+    R, t = _pose(rng)
+    x1, _ = _project(X, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    x2, _ = _project(X, R, t)
+    uv1 = _pixels(x1) + rng.normal(0, 0.3, x1.shape).astype(np.float32)
+    uv2 = _pixels(x2) + rng.normal(0, 0.3, x2.shape).astype(np.float32)
+    cfg = RansacConfig(num_hypotheses=512, min_inliers=15, error_threshold_px=2.0, model="fundamental")
+    geom = _run_verify(uv1, uv2, cfg)
+    assert bool(geom.ok)
+    assert geom.num_inliers >= 160
+    R_est = np.asarray(so3_exp(jnp.asarray(geom.rvec)))
+    assert _rot_err_deg(R_est, R) < 1.0
+    assert _t_err_deg(geom.tvec, t) < 2.0
+
+
+def test_verify_fundamental_matches_essential_on_calibrated_data():
+    """Both paths agree when the focal prior is exact."""
+    rng = np.random.default_rng(13)
+    X = np.concatenate([rng.uniform(-2, 2, (200, 2)), rng.uniform(3, 9, (200, 1))], 1).astype(np.float32)
+    R, t = _pose(rng)
+    x1, _ = _project(X, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    x2, _ = _project(X, R, t)
+    uv1 = _pixels(x1) + rng.normal(0, 0.3, x1.shape).astype(np.float32)
+    uv2 = _pixels(x2) + rng.normal(0, 0.3, x2.shape).astype(np.float32)
+    ge = _run_verify(uv1, uv2, RansacConfig(num_hypotheses=512, min_inliers=15, error_threshold_px=2.0))
+    gf = _run_verify(uv1, uv2, RansacConfig(num_hypotheses=512, min_inliers=15, error_threshold_px=2.0, model="fundamental"))
+    assert bool(ge.ok) and bool(gf.ok)
+    Re = np.asarray(so3_exp(jnp.asarray(ge.rvec)))
+    Rf = np.asarray(so3_exp(jnp.asarray(gf.rvec)))
+    assert _rot_err_deg(Re, Rf) < 0.5
+    assert _t_err_deg(ge.tvec, gf.tvec) < 1.0
