@@ -51,6 +51,25 @@ def _maybe_psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _cam_reduce(values: jnp.ndarray, obs_cam: jnp.ndarray, C: int, axis_name) -> jnp.ndarray:
+    """Observation->camera segment reduction for values [O, ...].
+
+    Cameras are the UNSORTED observation axis, so XLA lowers this to a
+    serialized scatter-add; on the single-chip TPU path it is instead an
+    MXU one-hot matmul (kernels/schur_spmv.cam_segment_sum). Trailing dims
+    are flattened through the kernel. The sharded path keeps the XLA scatter
+    (per-shard) — callers psum afterwards."""
+    shape = values.shape
+    if axis_name is None and jax.default_backend() == "tpu":
+        from sfm_tpu.kernels.schur_spmv import _MAX_CAMS, cam_segment_sum
+
+        if C <= _MAX_CAMS:
+            flat = values.reshape(shape[0], -1)
+            out = cam_segment_sum(flat, obs_cam, C)
+            return out.reshape((C,) + shape[1:])
+    return jax.ops.segment_sum(values, obs_cam, C)
+
+
 def _residual_one(cam: jnp.ndarray, point: jnp.ndarray, intr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """cam is [6] (pose only) or [8] (pose + focal log-scale + k1 delta);
     the width is static at trace time (config-switched, SURVEY.md §2.6)."""
@@ -185,26 +204,87 @@ def _sym_solve3(A: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     return inv * inv_det[..., None, None]
 
 
-def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig, axis_name=None) -> _NormalEq:
-    r, Jc, Jp, _ = residuals_and_jacobians(prob, cam_params, points, cfg)
+def _use_fused_ne(prob: BAProblem, cam_params, axis_name) -> bool:
+    """Static gate for the fused Pallas normal-equation kernel
+    (kernels/schur_spmv.py): single-chip, pose-only camera blocks, camera
+    count within the kernel's VMEM accumulator budget, TPU backend."""
+    from sfm_tpu.kernels import schur_spmv
+
+    return (
+        axis_name is None
+        and cam_params.shape[-1] == CAM_DIM
+        and prob.num_cameras <= schur_spmv._MAX_CAMS
+        and prob.obs_w.shape[0] % min(schur_spmv._TILE_OBS, prob.obs_w.shape[0]) == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _ne_blocks_fused(prob: BAProblem, cam_params, points, cfg: BAConfig):
+    """(Hcc, Hpp, W, bc, bp) via the fused Pallas kernel: residual+Jacobian
+    blocks formed per observation tile in VMEM, camera side reduced on the
+    MXU (one-hot matmul), point side emitted as compact [O,16] payloads for
+    one sorted segment_sum — the [O,6,6]/[O,3,3] outer-product
+    materializations of the XLA path never touch HBM."""
+    from sfm_tpu.kernels.schur_spmv import fused_ne_payloads
+
     C = prob.num_cameras
     P = prob.num_points
+    O = prob.obs_w.shape[0]
+    misc = jnp.concatenate(
+        [
+            points[prob.obs_point],
+            prob.obs_uv,
+            prob.obs_w[:, None],
+            (~prob.cam_fixed[prob.obs_cam])[:, None].astype(jnp.float32),
+            (~prob.point_fixed[prob.obs_point])[:, None].astype(jnp.float32),
+            jnp.zeros((O, 8), jnp.float32),
+        ],
+        axis=1,
+    )
+    pad = jnp.zeros((C, 2), jnp.float32)
+    Wf, Yp, camred = fused_ne_payloads(
+        prob.obs_cam, misc,
+        jnp.concatenate([cam_params, pad], axis=1),
+        jnp.concatenate([prob.intrinsics, pad], axis=1),
+        C, cfg.robust_loss, cfg.robust_scale_px,
+    )
+    Hcc = camred[:, :36].reshape(C, 6, 6)
+    bc = camred[:, 36:42]
+    W = Wf[:, :18].reshape(O, 6, 3)
+    red = jax.ops.segment_sum(Yp[:, :9], prob.obs_point, P)     # sorted by point
+    s6 = [red[:, k] for k in range(6)]
+    Hpp = jnp.stack(
+        [jnp.stack([s6[0], s6[1], s6[2]], -1),
+         jnp.stack([s6[1], s6[3], s6[4]], -1),
+         jnp.stack([s6[2], s6[4], s6[5]], -1)], -2
+    )
+    bp = red[:, 6:9]
+    return Hcc, Hpp, W, bc, bp
 
-    # Zero out Jacobians of frozen parameters: their normal-equation rows
-    # vanish, so updates are exactly zero (local-BA windowing / padding).
-    Jc = jnp.where(prob.cam_fixed[prob.obs_cam][:, None, None], 0.0, Jc)
-    Jp = jnp.where(prob.point_fixed[prob.obs_point][:, None, None], 0.0, Jp)
 
-    JcTJc = jnp.einsum("oai,oaj->oij", Jc, Jc)            # [O, 6, 6]
-    JpTJp = jnp.einsum("oai,oaj->oij", Jp, Jp)            # [O, 3, 3]
-    W = jnp.einsum("oai,oaj->oij", Jc, Jp)                # [O, 6, 3]
-    # NOTE: no indices_are_sorted hints here — the camera-sharded path
-    # reorders observations by camera, so point sortedness cannot be assumed
-    # by this shared code (and the hint measured perf-neutral on v5e).
-    Hcc = _maybe_psum(jax.ops.segment_sum(JcTJc, prob.obs_cam, C), axis_name)     # [C, 6, 6]
-    Hpp = _maybe_psum(jax.ops.segment_sum(JpTJp, prob.obs_point, P), axis_name)   # [P, 3, 3]
-    bc = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C), axis_name)
-    bp = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P), axis_name)
+def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig, axis_name=None) -> _NormalEq:
+    C = prob.num_cameras
+    P = prob.num_points
+    if _use_fused_ne(prob, cam_params, axis_name):
+        Hcc, Hpp, W, bc, bp = _ne_blocks_fused(prob, cam_params, points, cfg)
+    else:
+        r, Jc, Jp, _ = residuals_and_jacobians(prob, cam_params, points, cfg)
+
+        # Zero out Jacobians of frozen parameters: their normal-equation rows
+        # vanish, so updates are exactly zero (local-BA windowing / padding).
+        Jc = jnp.where(prob.cam_fixed[prob.obs_cam][:, None, None], 0.0, Jc)
+        Jp = jnp.where(prob.point_fixed[prob.obs_point][:, None, None], 0.0, Jp)
+
+        JcTJc = jnp.einsum("oai,oaj->oij", Jc, Jc)            # [O, 6, 6]
+        JpTJp = jnp.einsum("oai,oaj->oij", Jp, Jp)            # [O, 3, 3]
+        W = jnp.einsum("oai,oaj->oij", Jc, Jp)                # [O, 6, 3]
+        # NOTE: no indices_are_sorted hints here — the camera-sharded path
+        # reorders observations by camera, so point sortedness cannot be assumed
+        # by this shared code (and the hint measured perf-neutral on v5e).
+        Hcc = _maybe_psum(jax.ops.segment_sum(JcTJc, prob.obs_cam, C), axis_name)     # [C, 6, 6]
+        Hpp = _maybe_psum(jax.ops.segment_sum(JpTJp, prob.obs_point, P), axis_name)   # [P, 3, 3]
+        bc = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C), axis_name)
+        bp = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P), axis_name)
 
     # Multiplicative LM damping on block diagonals (Ceres-style), with an
     # absolute floor so padded/unconstrained blocks stay invertible.
@@ -218,7 +298,7 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
 
     # Schur-Jacobi preconditioner: exact block diagonal of S.
     WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
-    M = Hcc_d - _maybe_psum(jax.ops.segment_sum(WHW, prob.obs_cam, C), axis_name)
+    M = Hcc_d - _maybe_psum(_cam_reduce(WHW, prob.obs_cam, C, axis_name), axis_name)
     M = M + 1e-6 * eyec[None]
     M_inv = jnp.linalg.inv(M)
 
@@ -235,7 +315,7 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
     g = _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
-    Wv = _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
+    Wv = _maybe_psum(_cam_reduce(y, prob.obs_cam, prob.num_cameras, axis_name), axis_name)
     return jnp.einsum("cij,cj->ci", ne.Hcc, v) - Wv
 
 
@@ -243,7 +323,7 @@ def _schur_rhs(ne: _NormalEq, prob: BAProblem, axis_name=None) -> jnp.ndarray:
     """rhs = bc - W Hpp^-1 bp."""
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, ne.bp)
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])
-    return ne.bc - _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
+    return ne.bc - _maybe_psum(_cam_reduce(y, prob.obs_cam, prob.num_cameras, axis_name), axis_name)
 
 
 def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig, axis_name=None) -> jnp.ndarray:
@@ -333,9 +413,19 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
         return (it < cfg.max_iterations) & jnp.logical_not(done)
 
     # Reduced-system solver choice is static (num_cameras is a trace-time
-    # shape): dense Cholesky for small camera counts, PCG above the cutoff
-    # or when sharded (SURVEY.md §2.6 reduced-system solver).
-    use_dense = axis_name is None and prob.num_cameras <= cfg.dense_schur_max_cameras
+    # shape): dense Cholesky for small problems, PCG above the cutoff or when
+    # sharded (SURVEY.md §2.6 reduced-system solver). Dense assembles S with
+    # 6C implicit matvecs (batched 32 per dispatch) — it beats cg_iterations
+    # SEQUENTIAL matvec dispatches until the extra flops (each matvec is
+    # O(num_obs)) dominate; the C*O volume gate encodes the crossover
+    # measured on v5e (C=32/O=33k: dense 240x faster; C=128/O=131k: 5x
+    # slower).
+    n_obs = prob.obs_w.shape[0]
+    use_dense = (
+        axis_name is None
+        and prob.num_cameras <= cfg.dense_schur_max_cameras
+        and prob.num_cameras * n_obs <= (4 << 20)
+    )
 
     def body(state):
         cam_params, points, lam, it, _, cost = state

@@ -1,0 +1,307 @@
+"""Pallas block-sparse normal-equation / Schur reductions (SURVEY.md §2.6).
+
+The BA core's sparsity is segment-sum shaped: per-observation payloads reduce
+into per-camera blocks (Hcc, bc, the Schur-Jacobi diagonal, and the second
+half of every implicit S·v product). On TPU, scatter-adds serialize; the
+observation->camera reduction here is instead ONE-HOT MATMUL on the MXU:
+
+    out[c, k] = sum_o [obs_cam[o] == c] * values[o, k]
+              = onehot(obs_cam)^T @ values
+
+streamed over observation tiles with the [C, K] accumulator resident in
+VMEM. The one-hot tile is built in-registers from an iota compare (never
+materialized in HBM), so HBM traffic is exactly one read of `values` — the
+XLA scatter path reads the same data but serializes the accumulation.
+
+The point-side reductions stay XLA segment_sums: observations are sorted by
+point (ba/problem.py), so those segments are contiguous and XLA handles them
+well; cameras are the unsorted axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_OBS = 1024      # observation rows per grid step
+_MAX_CAMS = 2048      # VMEM budget: onehot tile [T, C] fp32 = 8MB at the cap
+
+# Fused normal-equation kernel layout (see fused_ne_payloads):
+_MISC_COLS = 16       # point(3) uv(2) w(1) cam_free(1) pt_free(1) pad(8)
+_CAMRED_COLS = 48     # vec(JcTJc)(36) -Jc^T r(6) pad(6)
+_W_COLS = 24          # vec(W = Jc^T Jp)(18) pad(6)
+_YP_COLS = 16         # sym(JpTJp)(6) -Jp^T r(3) pad(7)
+
+
+def _rot_cols(wx, wy, wz, a, b):
+    """Entries of I + a*[w]x + b*[w]x^2 as nine [1,T] row vectors."""
+    t2 = wx * wx + wy * wy + wz * wz
+    return (
+        1.0 + b * (wx * wx - t2), -a * wz + b * wx * wy, a * wy + b * wx * wz,
+        a * wz + b * wx * wy, 1.0 + b * (wy * wy - t2), -a * wx + b * wy * wz,
+        -a * wy + b * wx * wz, a * wx + b * wy * wz, 1.0 + b * (wz * wz - t2),
+    )
+
+
+def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, misc_ref, camt_ref, intrt_ref,
+                     w_out_ref, yp_out_ref, camred_ref, acc_ref):
+    """One observation tile: closed-form residual + Jacobian blocks entirely
+    in VMEM, camera-side normal-equation payloads reduced on the MXU via the
+    one-hot trick, point-side payloads emitted compactly ([O,16] instead of
+    the [O,6,6]+[O,3,3]+[O,6,3]+... materialization the XLA path writes).
+
+    Mirrors ba/core._residual_jac_analytic exactly (equality-tested); the
+    d(R p)/d rvec term uses the closed-form SO(3) right Jacobian
+    J_r(w) = I - (1-cos)/t^2 [w]x + (t-sin)/t^3 [w]x^2 instead of jacfwd.
+
+    Layout: every per-observation scalar lives as a [1, T] ROW vector (lanes
+    = observations); a [T, 1] column layout pads each scalar to 128 lanes
+    and blows the VMEM budget ~128x. All I/O is therefore transposed:
+    misc/cam/intr tables come in feature-major, W/Yp go out feature-major.
+    """
+    from sfm_tpu.geometry.losses import robust_weight
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    T = ids_ref.shape[1]
+    C = acc_ref.shape[1]
+    ids = ids_ref[:]                                           # [1, T]
+    onehot_t = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.float32)
+    cams = jax.lax.dot_general(                                # [8, T]
+        camt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    intr = jax.lax.dot_general(                                # [8, T]
+        intrt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    def col(arr, i):
+        return arr[i:i + 1, :]                                 # [1, T]
+
+    wx, wy, wz = col(cams, 0), col(cams, 1), col(cams, 2)
+    tx, ty, tz = col(cams, 3), col(cams, 4), col(cams, 5)
+    fx, fy, cx, cy, k1, k2 = (col(intr, i) for i in range(6))
+    misc = misc_ref[:]                                         # [16, T]
+    px, py, pz = col(misc, 0), col(misc, 1), col(misc, 2)
+    u_obs, v_obs = col(misc, 3), col(misc, 4)
+    w_obs, cam_free, pt_free = col(misc, 5), col(misc, 6), col(misc, 7)
+
+    # Rodrigues + right Jacobian coefficients with Taylor guards at theta=0.
+    t2 = wx * wx + wy * wy + wz * wz
+    th = jnp.sqrt(jnp.maximum(t2, 1e-24))
+    small = t2 < 1e-8
+    sin_t, cos_t = jnp.sin(th), jnp.cos(th)
+    A = jnp.where(small, 1.0 - t2 / 6.0, sin_t / th)               # sin/t
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - cos_t) / t2)      # (1-cos)/t^2
+    C2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (th - sin_t) / (t2 * th))
+
+    R = _rot_cols(wx, wy, wz, A, B)                            # 9 x [T,1]
+    (r00, r01, r02, r10, r11, r12, r20, r21, r22) = R
+    xc0 = r00 * px + r01 * py + r02 * pz + tx
+    xc1 = r10 * px + r11 * py + r12 * pz + ty
+    xc2 = r20 * px + r21 * py + r22 * pz + tz
+
+    z = jnp.where(jnp.abs(xc2) < 1e-8, jnp.where(xc2 < 0, -1e-8, 1e-8), xc2)
+    inv_z = 1.0 / z
+    x = xc0 * inv_z
+    y = xc1 * inv_z
+    r2 = x * x + y * y
+    s = 1.0 + r2 * (k1 + r2 * k2)
+    ru = fx * (x * s) + cx - u_obs                             # residual
+    rv = fy * (y * s) + cy - v_obs
+
+    # M = diag(f) @ D_dist @ A_proj  (rows m0*, m1* of the [2,3] chain).
+    dsc = (k1 + 2.0 * k2 * r2) * 2.0
+    ds_dx = dsc * x
+    ds_dy = dsc * y
+    d00 = s + x * ds_dx
+    d01 = x * ds_dy
+    d10 = y * ds_dx
+    d11 = s + y * ds_dy
+    m00 = fx * inv_z * d00
+    m01 = fx * inv_z * d01
+    m02 = -fx * inv_z * (d00 * x + d01 * y)
+    m10 = fy * inv_z * d10
+    m11 = fy * inv_z * d11
+    m12 = -fy * inv_z * (d10 * x + d11 * y)
+
+    # Jp = M @ R.
+    jp = [
+        m00 * r00 + m01 * r10 + m02 * r20, m00 * r01 + m01 * r11 + m02 * r21,
+        m00 * r02 + m01 * r12 + m02 * r22,
+        m10 * r00 + m11 * r10 + m12 * r20, m10 * r01 + m11 * r11 + m12 * r21,
+        m10 * r02 + m11 * r12 + m12 * r22,
+    ]
+    # dRX = -R [p]x Jr;  Jr = I - B [w]x + C2 [w]x^2.
+    JR = _rot_cols(wx, wy, wz, -B, C2)
+    (j00, j01, j02, j10, j11, j12, j20, j21, j22) = JR
+    g0 = [-pz * j10 + py * j20, -pz * j11 + py * j21, -pz * j12 + py * j22]
+    g1 = [pz * j00 - px * j20, pz * j01 - px * j21, pz * j02 - px * j22]
+    g2 = [-py * j00 + px * j10, -py * j01 + px * j11, -py * j02 + px * j12]
+    drx = [[-(r00 * g0[k] + r01 * g1[k] + r02 * g2[k]) for k in range(3)],
+           [-(r10 * g0[k] + r11 * g1[k] + r12 * g2[k]) for k in range(3)],
+           [-(r20 * g0[k] + r21 * g1[k] + r22 * g2[k]) for k in range(3)]]
+    # Jc = [ M @ dRX | M ]  -> six columns per residual row.
+    jc_row0 = [m00 * drx[0][k] + m01 * drx[1][k] + m02 * drx[2][k] for k in range(3)] + [m00, m01, m02]
+    jc_row1 = [m10 * drx[0][k] + m11 * drx[1][k] + m12 * drx[2][k] for k in range(3)] + [m10, m11, m12]
+    jp_row0, jp_row1 = jp[:3], jp[3:]
+
+    # Robust IRLS weights on the unweighted residual (matches
+    # residuals_and_jacobians), then freeze masks fold into the blocks.
+    sq = ru * ru + rv * rv
+    w_r = robust_weight(sq, robust_loss, robust_scale) * w_obs
+    sw = jnp.sqrt(jnp.maximum(w_r, 0.0))
+    ru_w = ru * sw
+    rv_w = rv * sw
+    swc = sw * cam_free
+    swp = sw * pt_free
+    a = [c * swc for c in jc_row0]
+    b = [c * swc for c in jc_row1]
+    p0 = [c * swp for c in jp_row0]
+    p1 = [c * swp for c in jp_row1]
+
+    # Camera payload: vec(Jc^T Jc) (36) then -Jc^T r (6), zero-padded to 48.
+    cam_rows = [a[i] * a[j] + b[i] * b[j] for i in range(6) for j in range(6)]
+    cam_rows += [-(a[i] * ru_w + b[i] * rv_w) for i in range(6)]
+    cam_rows += [jnp.zeros_like(ru)] * (_CAMRED_COLS - len(cam_rows))
+    payload_t = jnp.concatenate(cam_rows, axis=0)              # [48, T]
+    acc_ref[:] += jax.lax.dot_general(                         # [48, C]
+        payload_t, onehot_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        camred_ref[:] = acc_ref[:]
+
+    # W = Jc^T Jp (row-major 6x3 = 18 rows, zero-padded to 24), feature-major.
+    w_rows = [a[i] * p0[j] + b[i] * p1[j] for i in range(6) for j in range(3)]
+    w_rows += [jnp.zeros_like(ru)] * (_W_COLS - len(w_rows))
+    w_out_ref[:] = jnp.concatenate(w_rows, axis=0)
+
+    # Point payload: sym(Jp^T Jp) (00,01,02,11,12,22) then -Jp^T r.
+    yp_rows = [
+        p0[0] * p0[0] + p1[0] * p1[0], p0[0] * p0[1] + p1[0] * p1[1],
+        p0[0] * p0[2] + p1[0] * p1[2], p0[1] * p0[1] + p1[1] * p1[1],
+        p0[1] * p0[2] + p1[1] * p1[2], p0[2] * p0[2] + p1[2] * p1[2],
+    ]
+    yp_rows += [-(p0[j] * ru_w + p1[j] * rv_w) for j in range(3)]
+    yp_rows += [jnp.zeros_like(ru)] * (_YP_COLS - len(yp_rows))
+    yp_out_ref[:] = jnp.concatenate(yp_rows, axis=0)
+
+
+@partial(jax.jit, static_argnames=("num_cameras", "robust_loss", "robust_scale", "interpret"))
+def fused_ne_payloads(
+    obs_cam: jnp.ndarray,        # [O] int32
+    misc: jnp.ndarray,           # [O, 16] point(3) uv(2) w(1) cam_free(1) pt_free(1)
+    cam_tab: jnp.ndarray,        # [C, 8] rvec(3) tvec(3) pad
+    intr_tab: jnp.ndarray,       # [C, 8]
+    num_cameras: int,
+    robust_loss: str,
+    robust_scale: float,
+    interpret: bool = False,
+):
+    """Returns (W [O,24], Yp [O,16], cam_red [C,48]) — see _fused_ne_kernel.
+
+    The kernel runs feature-major ([rows, obs] layout); this wrapper owns the
+    transposes on both sides so callers see observation-major arrays.
+    """
+    O = obs_cam.shape[0]
+    T = min(_TILE_OBS, O)
+    assert O % T == 0, "observation capacity must be a multiple of the tile"
+    grid = (O // T,)
+    C = num_cameras
+    kern = partial(_fused_ne_kernel, robust_loss, robust_scale)
+    w_t, yp_t, camred_t = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_MISC_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_W_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_YP_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CAMRED_COLS, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_W_COLS, O), jnp.float32),
+            jax.ShapeDtypeStruct((_YP_COLS, O), jnp.float32),
+            jax.ShapeDtypeStruct((_CAMRED_COLS, C), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_CAMRED_COLS, C), jnp.float32)],
+        interpret=interpret,
+    )(
+        obs_cam.astype(jnp.int32)[None, :],
+        misc.T,
+        cam_tab.T,
+        intr_tab.T,
+    )
+    return w_t.T, yp_t.T, camred_t.T
+
+
+def _cam_segsum_kernel(ids_ref, vals_ref, out_ref, acc_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ids = ids_ref[:]                                   # [T, 1] int32
+    C = acc_ref.shape[0]
+    onehot = (ids == jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], C), 1)).astype(
+        jnp.float32
+    )                                                   # [T, C], registers only
+    acc_ref[:] += jax.lax.dot_general(
+        onehot, vals_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),     # contract over T
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("num_cameras", "interpret"))
+def cam_segment_sum(values: jnp.ndarray, obs_cam: jnp.ndarray, num_cameras: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """segment_sum(values, obs_cam, num_cameras) for values [O, K] -> [C, K].
+
+    MXU one-hot reduction (see module docstring). Padding rows must carry
+    zero values (the BA problem's obs_w=0 contract already guarantees their
+    payloads vanish). Falls back to jax.ops.segment_sum beyond the camera
+    cap or off-TPU.
+    """
+    O, K = values.shape
+    if num_cameras > _MAX_CAMS or (jax.default_backend() == "cpu" and not interpret):
+        return jax.ops.segment_sum(values, obs_cam, num_cameras)
+
+    T = min(_TILE_OBS, O)
+    pad = (-O) % T
+    if pad:
+        values = jnp.pad(values, ((0, pad), (0, 0)))
+        obs_cam = jnp.pad(obs_cam, (0, pad), constant_values=0)
+    ids2d = obs_cam.astype(jnp.int32)[:, None]
+
+    grid = (values.shape[0] // T,)
+    return pl.pallas_call(
+        _cam_segsum_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_cameras, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_cameras, K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((num_cameras, K), jnp.float32)],
+        interpret=interpret,
+    )(ids2d, values.astype(jnp.float32))

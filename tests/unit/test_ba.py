@@ -113,6 +113,64 @@ def test_local_ba_respects_window():
     assert moved[4:].all()       # windowed cameras optimized
 
 
+def test_fused_pallas_ne_matches_xla_path():
+    """kernels/schur_spmv.fused_ne_payloads (closed-form Jacobians + one-hot
+    MXU camera reduction) must reproduce build_normal_equations exactly
+    (SURVEY.md §2.6 Pallas block-sparse requirement). Runs in interpret mode
+    off-TPU."""
+    import jax as _jax
+    from sfm_tpu.ba.core import _ne_blocks_fused, residuals_and_jacobians
+    from sfm_tpu.kernels import schur_spmv
+
+    scene = make_orbit_scene(num_cameras=8, num_points=300, noise_px=0.5, seed=9)
+    rec = scene_to_reconstruction(scene, pose_noise=0.02, point_noise=0.05, seed=10)
+    # Also exercise local-BA windowing (fixed cameras) and robust weights.
+    prob, _, _ = build_problem(rec, free_cams=np.array([3, 4, 5, 6, 7]))
+    cfg = BAConfig(robust_loss="huber", robust_scale_px=4.0)
+
+    interp = _jax.default_backend() != "tpu"
+    orig = schur_spmv.fused_ne_payloads
+    if interp:
+        schur_spmv.fused_ne_payloads = lambda *a, **k: orig(*a, interpret=True, **k)
+    try:
+        Hcc_f, Hpp_f, W_f, bc_f, bp_f = _ne_blocks_fused(prob, prob.cam_params, prob.points, cfg)
+    finally:
+        schur_spmv.fused_ne_payloads = orig
+
+    r, Jc, Jp, _ = residuals_and_jacobians(prob, prob.cam_params, prob.points, cfg)
+    Jc = jnp.where(prob.cam_fixed[prob.obs_cam][:, None, None], 0.0, Jc)
+    Jp = jnp.where(prob.point_fixed[prob.obs_point][:, None, None], 0.0, Jp)
+    Hcc = jax.ops.segment_sum(jnp.einsum("oai,oaj->oij", Jc, Jc), prob.obs_cam, prob.num_cameras)
+    Hpp = jax.ops.segment_sum(jnp.einsum("oai,oaj->oij", Jp, Jp), prob.obs_point, prob.num_points)
+    W = jnp.einsum("oai,oaj->oij", Jc, Jp)
+    bc = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, prob.num_cameras)
+    bp = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, prob.num_points)
+
+    def close(a, b, name):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5, err_msg=name)
+
+    close(W_f, W, "W")
+    close(Hcc_f, Hcc, "Hcc")
+    close(bc_f, bc, "bc")
+    close(Hpp_f, Hpp, "Hpp")
+    close(bp_f, bp, "bp")
+
+
+def test_cam_segment_sum_matches_xla():
+    import jax as _jax
+    from sfm_tpu.kernels.schur_spmv import cam_segment_sum
+
+    rng = np.random.default_rng(0)
+    O, K, C = 4096, 42, 96
+    v = jnp.asarray(rng.normal(size=(O, K)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, C, O).astype(np.int32))
+    out = cam_segment_sum(v, ids, C, interpret=_jax.default_backend() != "tpu")
+    ref = jax.ops.segment_sum(v, ids, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
 def test_dense_and_pcg_reduced_solvers_agree():
     """SURVEY.md §2.6: dense Cholesky (small scenes) and PCG must solve the
     same reduced system — final costs and poses agree."""
