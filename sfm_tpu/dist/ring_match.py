@@ -91,6 +91,64 @@ def ring_match_all(
     return fn(desc, valid)
 
 
+def ring_match_rows(
+    desc_rows: jnp.ndarray,   # [Br, N, 128] resident row block (Br divisible by D)
+    valid_rows: jnp.ndarray,  # [Br, N]
+    desc_all: jnp.ndarray,    # [B, N, 128] full column set (B divisible by D)
+    valid_all: jnp.ndarray,   # [B, N]
+    cfg: MatchConfig,
+    mesh: Mesh,
+    axis: str = "shard",
+):
+    """Rectangular ring matching: a resident ROW block against every image.
+
+    The memory-bounded building block behind ring_match_all at scale: the
+    full [B, B, M] match table is O(B^2 M) (VERDICT r1: ~1.6TB at Rome16K),
+    so the pipeline streams row blocks — per call the output is
+    [Br, B, M] and per-chip memory O((Br/D) * B * M). Column shards rotate
+    via ppermute exactly as in the square case.
+
+    Returns (idx_i, idx_j, ok) of shapes [Br, B, M].
+    """
+    D = mesh.devices.size
+    B = desc_all.shape[0]
+    Br = desc_rows.shape[0]
+    assert B % D == 0 and Br % D == 0
+    b = B // D
+    br = Br // D
+
+    def shard_fn(dr, vr, dc, vc):
+        my = jax.lax.axis_index(axis)
+        visiting = (dc, vc)
+        out_ii = jnp.zeros((br, B, cfg.max_matches), jnp.int32)
+        out_jj = jnp.zeros((br, B, cfg.max_matches), jnp.int32)
+        out_ok = jnp.zeros((br, B, cfg.max_matches), bool)
+        for step in range(D):
+            vdesc, vvalid = visiting
+            src_shard = (my - step) % D
+
+            def match_rv(di, vi):
+                return jax.vmap(lambda dj, vj: match_pair(di, vi, dj, vj, cfg))(vdesc, vvalid)
+
+            ii, jj, ok = jax.vmap(match_rv)(dr, vr)              # [br, b, M]
+            col0 = src_shard * b
+            out_ii = jax.lax.dynamic_update_slice(out_ii, ii, (0, col0, 0))
+            out_jj = jax.lax.dynamic_update_slice(out_jj, jj, (0, col0, 0))
+            out_ok = jax.lax.dynamic_update_slice(out_ok, ok, (0, col0, 0))
+            if step + 1 < D:
+                perm = [(d, (d + 1) % D) for d in range(D)]
+                visiting = jax.lax.ppermute(visiting, axis, perm)
+        return out_ii, out_jj, out_ok
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return fn(desc_rows, valid_rows, desc_all, valid_all)
+
+
 def ring_match_reference(desc, valid, cfg: MatchConfig):
     """Unsharded reference with identical semantics (for equality tests)."""
     B = desc.shape[0]

@@ -193,11 +193,15 @@ def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0) -> np.ndarray:
     sim = np.array(bow @ bow.T)                          # [B, B] MXU (copy: mutated below)
     np.fill_diagonal(sim, -1.0)
 
+    # Top-k neighbors per image, vectorized (the per-image argsort loop was
+    # O(B^2 log B) host time at 1k+ images): one argpartition over rows,
+    # then canonicalize + dedup the (i, j) pairs.
     k = min(cfg.num_neighbors, B - 1)
-    pairs = set()
-    for i in range(B):
-        for j in np.argsort(-sim[i])[:k]:
-            a, b_ = (i, int(j)) if i < j else (int(j), i)
-            if a != b_:
-                pairs.add((a, b_))
-    return np.asarray(sorted(pairs), dtype=np.int32)
+    nbrs = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]       # [B, k]
+    ii = np.repeat(np.arange(B), k)
+    jj = nbrs.reshape(-1)
+    keep = ii != jj
+    a = np.minimum(ii, jj)[keep]
+    b_ = np.maximum(ii, jj)[keep]
+    pairs = np.unique(np.stack([a, b_], axis=1), axis=0)
+    return pairs.astype(np.int32)

@@ -63,56 +63,50 @@ def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, 
     out.tvecs[only_other] = other.tvecs[only_other]
     out.registered |= other.registered
 
-    # Observation-key -> base point id.
-    key_to_point: dict[tuple[int, int], int] = {}
-    for r in range(base.num_observations):
-        key_to_point[(int(base.obs_image[r]), int(base.obs_kp[r]))] = int(base.obs_point[r])
+    # Vectorized observation union (the per-observation dict/loop version
+    # was the same class of host bottleneck the track builder moved to C++;
+    # at 10k-image partitions the tables have millions of rows).
+    # Keys: (image, keypoint) packed into one int64 — unique per observation
+    # within a reconstruction (a keypoint belongs to at most one track).
+    kb = base.obs_image.astype(np.int64) << 32 | base.obs_kp.astype(np.int64)
+    ko = other.obs_image.astype(np.int64) << 32 | other.obs_kp.astype(np.int64)
+    order = np.argsort(kb, kind="stable")
+    kb_sorted = kb[order]
+    pos = np.searchsorted(kb_sorted, ko)
+    pos_c = np.minimum(pos, len(kb_sorted) - 1) if len(kb_sorted) else np.zeros_like(pos)
+    matched = (len(kb_sorted) > 0) & (kb_sorted[pos_c] == ko)
+    base_pid_of_row = np.where(matched, base.obs_point[order[pos_c]], -1)
 
-    points = list(base.points)
-    point_valid = list(base.point_valid)
-    obs = {
-        "point": list(base.obs_point), "image": list(base.obs_image),
-        "kp": list(base.obs_kp), "uv": list(base.obs_uv),
-    }
-    seen_obs = set(zip(obs["image"], obs["kp"]))
+    valid_row = other.point_valid[other.obs_point]
+    P_other = len(other.points)
+    # Track-level link: an other-track that shares any (image, kp) with base
+    # merges into that base point (smallest matching id on conflicts).
+    target = np.full(P_other, np.iinfo(np.int64).max, np.int64)
+    link_rows = np.where(matched & valid_row)[0]
+    np.minimum.at(target, other.obs_point[link_rows], base_pid_of_row[link_rows].astype(np.int64))
+    linked = target != np.iinfo(np.int64).max
 
-    # Group other's observations by point.
-    rows_by_point: dict[int, list[int]] = {}
-    for r in range(other.num_observations):
-        rows_by_point.setdefault(int(other.obs_point[r]), []).append(r)
+    # Fresh points for unlinked valid tracks that actually carry observations.
+    has_rows = np.zeros(P_other, bool)
+    has_rows[other.obs_point[valid_row]] = True
+    fresh = other.point_valid & ~linked & has_rows
+    n_base = len(base.points)
+    fresh_ids = np.cumsum(fresh) - 1 + n_base
+    target = np.where(fresh, fresh_ids, target)
 
-    for pid, rows in rows_by_point.items():
-        if not other.point_valid[pid]:
-            continue
-        # Does this track intersect an existing base point?
-        target = None
-        for r in rows:
-            k = (int(other.obs_image[r]), int(other.obs_kp[r]))
-            if k in key_to_point:
-                target = key_to_point[k]
-                break
-        if target is None:
-            target = len(points)
-            points.append(other.points[pid])
-            point_valid.append(True)
-        for r in rows:
-            k = (int(other.obs_image[r]), int(other.obs_kp[r]))
-            if k in seen_obs:
-                continue
-            seen_obs.add(k)
-            key_to_point[k] = target
-            obs["point"].append(target)
-            obs["image"].append(int(other.obs_image[r]))
-            obs["kp"].append(int(other.obs_kp[r]))
-            obs["uv"].append(other.obs_uv[r])
+    # Rows to append: valid-track rows whose key is not already in base.
+    app = np.where(valid_row & ~matched & (linked | fresh)[other.obs_point])[0]
+    # Guard against duplicate keys inside `other` itself (keep first).
+    _, first_idx = np.unique(ko[app], return_index=True)
+    app = app[np.sort(first_idx)]
 
-    out.points = np.asarray(points, np.float32).reshape(-1, 3)
-    out.point_valid = np.asarray(point_valid, bool)
-    out.point_errors = np.zeros(len(points), np.float32)
-    out.obs_point = np.asarray(obs["point"], np.int32)
-    out.obs_image = np.asarray(obs["image"], np.int32)
-    out.obs_kp = np.asarray(obs["kp"], np.int32)
-    out.obs_uv = np.asarray(obs["uv"], np.float32).reshape(-1, 2)
+    out.points = np.concatenate([base.points, other.points[fresh]]).astype(np.float32)
+    out.point_valid = np.concatenate([base.point_valid, np.ones(int(fresh.sum()), bool)])
+    out.point_errors = np.zeros(len(out.points), np.float32)
+    out.obs_point = np.concatenate([base.obs_point, target[other.obs_point[app]]]).astype(np.int32)
+    out.obs_image = np.concatenate([base.obs_image, other.obs_image[app]]).astype(np.int32)
+    out.obs_kp = np.concatenate([base.obs_kp, other.obs_kp[app]]).astype(np.int32)
+    out.obs_uv = np.concatenate([base.obs_uv, other.obs_uv[app]]).astype(np.float32)
     return out
 
 

@@ -170,35 +170,68 @@ def exhaustive_pairs(num_images: int) -> np.ndarray:
     return np.stack([ii, jj], axis=1).astype(np.int32)
 
 
+# Host-side budget for one streamed ring row-block ([Br, B, M] x 3 arrays).
+_RING_BLOCK_BYTES = 1 << 30
+
+
 def ring_match_pairs(feats: FeatureSet, cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """All-pairs matching on a multi-chip mesh via the ring-ppermute matcher
     (SURVEY.md §5.7). Returns (pairs [E,2] with i<j, idx_i, idx_j, valid)
     in the same layout the block matcher produces, for the verify stage.
+
+    The O(B^2 M) match table is streamed in ROW blocks (ring_match_rows):
+    each block is compacted to its surviving pairs before the next is
+    computed, bounding host memory at _RING_BLOCK_BYTES instead of the full
+    table (which is TBs at Rome16K scale).
     """
     import jax.numpy as jnp2
 
     from sfm_tpu.dist.mesh import make_mesh
-    from sfm_tpu.dist.ring_match import ring_match_all
+    from sfm_tpu.dist.ring_match import ring_match_rows
 
     B = len(feats.xy)
     n_dev = cfg.shard.num_devices
+    M = cfg.match.max_matches
     padB = -(-B // n_dev) * n_dev
     desc = np.zeros((padB, *feats.desc.shape[1:]), feats.desc.dtype)
     valid = np.zeros((padB, feats.valid.shape[1]), bool)
     desc[:B] = feats.desc
     valid[:B] = feats.valid
     mesh = make_mesh(n_dev, cfg.shard.mesh_axis)
-    ii, jj, ok = ring_match_all(jnp2.asarray(desc), jnp2.asarray(valid), cfg.match, mesh, cfg.shard.mesh_axis)
-    ii, jj, ok = np.asarray(ii), np.asarray(jj), np.asarray(ok)
+    desc_d = jnp2.asarray(desc)
+    valid_d = jnp2.asarray(valid)
 
-    counts = ok.sum(-1)                                   # [padB, padB]
-    upper = np.triu(np.ones((B, B), bool), k=1)
-    keep = upper & (counts[:B, :B] >= cfg.match.min_matches)
-    a_idx, b_idx = np.nonzero(keep)
-    if len(a_idx) == 0:
+    # Row-chunk size: fit 3 x [Br, padB, M] int32/bool on host, multiple of
+    # the mesh, and a power-of-2 count of chunks shapes so jit reuses one
+    # compiled program.
+    per_row = padB * M * (4 + 4 + 1)
+    chunk = max(n_dev, min(padB, (_RING_BLOCK_BYTES // max(per_row, 1)) // n_dev * n_dev))
+    pairs_l, pi_l, pj_l, pv_l = [], [], [], []
+    for r0 in range(0, padB, chunk):
+        r1 = min(r0 + chunk, padB)
+        if r1 - r0 < chunk:  # pad the tail chunk (one compile)
+            rows = np.arange(r0, r0 + chunk) % padB
+            dr, vr = desc_d[rows], valid_d[rows]
+        else:
+            dr, vr = desc_d[r0:r1], valid_d[r0:r1]
+        ii, jj, ok = ring_match_rows(dr, vr, desc_d, valid_d, cfg.match, mesh, cfg.shard.mesh_axis)
+        ii, jj, ok = np.asarray(ii), np.asarray(jj), np.asarray(ok)
+        counts = ok.sum(-1)                               # [chunk, padB]
+        gi = r0 + np.arange(chunk)[:, None]               # global row ids
+        gj = np.arange(padB)[None, :]
+        keep = (gi < gj) & (gi < B) & (gj < B) & (counts >= cfg.match.min_matches)
+        a_loc, b_idx = np.nonzero(keep)
+        if len(a_loc) == 0:
+            continue
+        pairs_l.append(np.stack([a_loc + r0, b_idx], 1).astype(np.int32))
+        pi_l.append(ii[a_loc, b_idx])
+        pj_l.append(jj[a_loc, b_idx])
+        pv_l.append(ok[a_loc, b_idx])
+
+    if not pairs_l:
         return np.zeros((0, 2), np.int32), None, None, None
-    pairs = np.stack([a_idx, b_idx], 1).astype(np.int32)
-    return pairs, ii[a_idx, b_idx], jj[a_idx, b_idx], ok[a_idx, b_idx]
+    return (np.concatenate(pairs_l), np.concatenate(pi_l),
+            np.concatenate(pj_l), np.concatenate(pv_l))
 
 
 def match_and_verify_stage(

@@ -48,6 +48,28 @@ def test_ring_match_pairs_agree_with_blockwise():
     assert graph.ok.sum() >= 4
 
 
+def test_ring_match_streaming_equals_monolithic(monkeypatch):
+    """Row-block-streamed ring matching (bounded host memory) produces the
+    same compacted pair set as one full-table pass (VERDICT r1 weak #6)."""
+    imgs, _ = render_blob_scene(image_size=(128, 128), num_images=16, arc_fraction=0.10, num_blobs=80)
+    cfg = PipelineConfig(
+        sift=SiftConfig(max_keypoints=128, max_candidates=512, num_octaves=2, image_max_dim=128),
+        match=MatchConfig(max_matches=64, min_matches=8),
+        shard=ShardConfig(num_devices=8),
+        verbose=False,
+    )
+    batch = ingest.load_images(list(imgs), cfg.sift)
+    feats = stages.extract_stage(batch, cfg)
+
+    big = stages.ring_match_pairs(feats, cfg)  # default budget: one chunk
+    monkeypatch.setattr(stages, "_RING_BLOCK_BYTES", 16 * 64 * 9 * 8)  # forces tiny chunks
+    small = stages.ring_match_pairs(feats, cfg)
+
+    np.testing.assert_array_equal(big[0], small[0])
+    for b, s in zip(big[1:], small[1:]):
+        np.testing.assert_array_equal(b, s)
+
+
 def test_dp_feature_extraction_equals_single_chip():
     """DP extraction over the 8-device mesh is exactly the single-chip output
     (SURVEY.md §2.9 DP features — per-image work, no cross-image coupling)."""
