@@ -55,7 +55,10 @@ def main():
         match=MatchConfig(max_matches=512, min_matches=12),
         ransac=RansacConfig(num_hypotheses=512, min_inliers=12, error_threshold_px=2.0),
         engine=EngineConfig(init_min_inliers=25, abs_pose_min_inliers=10,
-                            local_ba_window=6, global_ba_every=8),
+                            local_ba_window=6, global_ba_every=8,
+                            max_images=max(4096, n),
+                            max_points=max(1 << 18, 512 * n),
+                            max_observations=max(1 << 20, 4096 * n)),
         ba=BAConfig(max_iterations=15),
         vocab=VocabConfig(num_neighbors=min(12, n - 1)),
         partition=PartitionConfig(enabled=partition, target_cluster_size=25, overlap_cameras=6),

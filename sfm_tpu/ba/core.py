@@ -305,17 +305,24 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv)
 
 
-def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None) -> jnp.ndarray:
+def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None,
+                  use_kernel: bool = True) -> jnp.ndarray:
     """Implicit S @ v for v [C, 6] without materializing S.
 
     Sharded mode: W blocks are local to each observation shard; the two
     segment-sums complete across shards via psum (ne.Hcc/Hpp_inv and v are
-    replicated, so the CG iterates stay bitwise-identical on all shards)."""
+    replicated, so the CG iterates stay bitwise-identical on all shards).
+    use_kernel=False forces the XLA scatter (required under vmap — the
+    dense-Schur column assembly batches this function, and a vmapped
+    pallas_call does not lower)."""
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
     g = _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
-    Wv = _maybe_psum(_cam_reduce(y, prob.obs_cam, prob.num_cameras, axis_name), axis_name)
+    if use_kernel:
+        Wv = _maybe_psum(_cam_reduce(y, prob.obs_cam, prob.num_cameras, axis_name), axis_name)
+    else:
+        Wv = _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
     return jnp.einsum("cij,cj->ci", ne.Hcc, v) - Wv
 
 
@@ -378,7 +385,9 @@ def _dense_schur_solve(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BA
     eye = jnp.eye(K_pad, K).reshape(K_pad // chunk, chunk, C, D)
 
     def cols(vblk):
-        return jax.vmap(lambda v: _schur_matvec(ne, prob, v, None))(vblk).reshape(chunk, K)
+        return jax.vmap(
+            lambda v: _schur_matvec(ne, prob, v, None, use_kernel=False)
+        )(vblk).reshape(chunk, K)
 
     S = jax.lax.map(cols, eye).reshape(K_pad, K)[:K]
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))

@@ -115,7 +115,10 @@ class EngineConfig:
     min_triangulation_angle_deg: float = 1.5
     max_reprojection_error_px: float = 6.0
     local_ba_window: int = 8            # most recent cameras optimized in local BA
-    global_ba_every: int = 10           # run global BA every k registrations
+    local_ba_max_cameras: int = 64      # window + top co-observing cameras in the local problem
+    global_ba_every: int = 10           # global BA at least every k registrations...
+    global_ba_growth: float = 1.25      # ...stretched to every 25% model growth at scale
+                                        # (COLMAP-style geometric schedule)
     max_images: int = 4096              # static capacity of the scene state
     max_points: int = 262144
     max_observations: int = 1048576

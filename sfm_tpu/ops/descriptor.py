@@ -16,6 +16,7 @@ whole game on TPU.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -56,11 +57,57 @@ def _lattice_and_weights() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 _LATTICE, _W_GAUSS, _W_SPATIAL = _lattice_and_weights()
 
 
+_WIN = 64  # descriptor sampling window (covers ~8*sigma at sigma <= 3.9)
+
+
+def sample_gradients_windowed(dx_stack, dy_stack, level, x, y, off_x, off_y):
+    """Sample both gradient channels at per-keypoint lattice offsets via
+    contiguous windows + separable bilinear MATMULS instead of pointwise
+    gathers.
+
+    The XLA pointwise-gather formulation (bilinear_sample_stack) issues
+    K*P*2*4 scattered loads and dominated the whole feature stage. Here each
+    keypoint pulls one contiguous [64, 64] window per gradient channel
+    (vmapped dynamic_slice — contiguous, DMA-friendly), and bilinear
+    interpolation becomes hat-function weight matrices contracted on the
+    MXU: sample[k,p] = wy[k,p,:] @ win[k] @ wx[k,p,:]. Exactly equal to
+    4-tap bilinear for any patch inside the window (equality-tested); the
+    window covers descriptor patches up to sigma ~3.9, beyond the
+    per-octave maximum. off_x/off_y: [K, P] lattice offsets in pixels.
+    """
+    L, H, Wd = dx_stack.shape
+    half = _WIN // 2
+    glev = jnp.clip(jnp.round(level).astype(jnp.int32), 0, L - 1)
+    x0 = jnp.clip(jnp.round(x).astype(jnp.int32) - half, 0, max(Wd - _WIN, 0))
+    y0 = jnp.clip(jnp.round(y).astype(jnp.int32) - half, 0, max(H - _WIN, 0))
+
+    def slice_one(stack, lev, yy, xx):
+        return jax.lax.dynamic_slice(stack, (lev, yy, xx), (1, _WIN, _WIN))[0]
+
+    win_gx = jax.vmap(lambda l, yy, xx: slice_one(dx_stack, l, yy, xx))(glev, y0, x0)
+    win_gy = jax.vmap(lambda l, yy, xx: slice_one(dy_stack, l, yy, xx))(glev, y0, x0)
+
+    # Lattice positions relative to each window, clamped inside it (matches
+    # the gather path's border clamp whenever the patch fits the window).
+    px = jnp.clip(x[:, None] + off_x - x0[:, None].astype(jnp.float32), 0.0, _WIN - 1.000001)
+    py = jnp.clip(y[:, None] + off_y - y0[:, None].astype(jnp.float32), 0.0, _WIN - 1.000001)
+    grid = jnp.arange(_WIN, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - grid))   # [K, P, 64]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - grid))   # [K, P, 64]
+
+    def samp(win):
+        rows = jnp.einsum("kpr,krc->kpc", wy, win, preferred_element_type=jnp.float32)
+        return jnp.sum(rows * wx, axis=-1)                        # [K, P]
+
+    return samp(win_gx), samp(win_gy)
+
+
 def compute_descriptors(
     kps: OctaveKeypoints,
     dx_stack: jnp.ndarray,
     dy_stack: jnp.ndarray,
     cfg: SiftConfig,
+    use_windows: bool = True,
 ) -> jnp.ndarray:
     """Descriptors for one octave's keypoints. Returns [K, 128] float32.
 
@@ -78,12 +125,17 @@ def compute_descriptors(
     dv = lattice[None, :, 1] * scale[:, None]
     off_x = cos_t[:, None] * du - sin_t[:, None] * dv
     off_y = sin_t[:, None] * du + cos_t[:, None] * dv
-    pos = jnp.stack([kps.x[:, None] + off_x, kps.y[:, None] + off_y], -1)  # [K, P, 2]
 
-    glev = jnp.clip(jnp.round(kps.level).astype(jnp.int32), 0, dx_stack.shape[0] - 1)
-    lev = jnp.broadcast_to(glev[:, None], pos.shape[:2])
-    gx = bilinear_sample_stack(dx_stack, lev, pos)
-    gy = bilinear_sample_stack(dy_stack, lev, pos)
+    if use_windows and min(dx_stack.shape[1], dx_stack.shape[2]) >= _WIN:
+        gx, gy = sample_gradients_windowed(
+            dx_stack, dy_stack, kps.level, kps.x, kps.y, off_x, off_y
+        )
+    else:
+        pos = jnp.stack([kps.x[:, None] + off_x, kps.y[:, None] + off_y], -1)  # [K, P, 2]
+        glev = jnp.clip(jnp.round(kps.level).astype(jnp.int32), 0, dx_stack.shape[0] - 1)
+        lev = jnp.broadcast_to(glev[:, None], pos.shape[:2])
+        gx = bilinear_sample_stack(dx_stack, lev, pos)
+        gy = bilinear_sample_stack(dy_stack, lev, pos)
     mag = jnp.sqrt(gx * gx + gy * gy + 1e-12) * w_gauss[None, :]
     ang = jnp.arctan2(gy, gx) - kps.angle[:, None]
 

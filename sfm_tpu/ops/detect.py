@@ -218,11 +218,23 @@ def assign_orientation(kps: OctaveKeypoints, dx_stack: jnp.ndarray, dy_stack: jn
     w_gauss = jnp.exp(-jnp.sum(lattice**2, -1) / (2.0 * _ORI_SIGMA_W**2))       # [P]
 
     # Gradient level nearest to the keypoint blur (gaussian level = dog level).
-    glev = jnp.clip(jnp.round(kps.level).astype(jnp.int32), 0, dx_stack.shape[0] - 1)
-    pos = jnp.stack([kps.x, kps.y], -1)[:, None, :] + lattice[None, :, :] * kps.sigma[:, None, None]  # [K, P, 2]
-    lev = jnp.broadcast_to(glev[:, None], pos.shape[:2])
-    gx = bilinear_sample_stack(dx_stack, lev, pos)
-    gy = bilinear_sample_stack(dy_stack, lev, pos)
+    # Sampling goes through the windowed separable-matmul path when the
+    # octave is big enough (see descriptor.sample_gradients_windowed) —
+    # pointwise gathers dominated the orientation stage otherwise.
+    from sfm_tpu.ops.descriptor import _WIN, sample_gradients_windowed
+
+    off_x = lattice[None, :, 0] * kps.sigma[:, None]
+    off_y = lattice[None, :, 1] * kps.sigma[:, None]
+    if min(dx_stack.shape[1], dx_stack.shape[2]) >= _WIN:
+        gx, gy = sample_gradients_windowed(
+            dx_stack, dy_stack, kps.level, kps.x, kps.y, off_x, off_y
+        )
+    else:
+        glev = jnp.clip(jnp.round(kps.level).astype(jnp.int32), 0, dx_stack.shape[0] - 1)
+        pos = jnp.stack([kps.x, kps.y], -1)[:, None, :] + jnp.stack([off_x, off_y], -1)
+        lev = jnp.broadcast_to(glev[:, None], pos.shape[:2])
+        gx = bilinear_sample_stack(dx_stack, lev, pos)
+        gy = bilinear_sample_stack(dy_stack, lev, pos)
     mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
 

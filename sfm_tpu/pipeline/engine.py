@@ -244,6 +244,24 @@ def _pnp_register(st: EngineState, img: int, cfg: PipelineConfig, key) -> bool:
     return True
 
 
+def _local_ba_cameras(rec: Reconstruction, window: np.ndarray, cap: int) -> np.ndarray:
+    """Camera set for a local BA problem: the window plus the cameras most
+    co-observing its points (capped). Restricting the problem this way keeps
+    local BA O(window) as the scene grows — at 1k registered cameras the
+    full-scene problem per registration round dominated wall-clock."""
+    in_window = np.zeros(len(rec.registered), bool)
+    in_window[window] = True
+    win_obs = in_window[rec.obs_image]
+    pts = np.zeros(len(rec.points), bool)
+    pts[rec.obs_point[win_obs]] = True
+    co_rows = pts[rec.obs_point] & ~win_obs
+    counts = np.bincount(rec.obs_image[co_rows], minlength=len(rec.registered))
+    counts[~rec.registered] = 0
+    co = np.argsort(-counts)
+    co = co[counts[co] > 0][: max(cap - len(window), 0)]
+    return np.sort(np.concatenate([np.asarray(window), co]).astype(np.int64))
+
+
 def _run_ba(st: EngineState, cfg: PipelineConfig, free_cams=None) -> None:
     rec = st.materialize()
     if rec.num_observations < 8 or rec.num_points < 4:
@@ -251,7 +269,12 @@ def _run_ba(st: EngineState, cfg: PipelineConfig, free_cams=None) -> None:
     # Intrinsics refinement only in global BA (free_cams None): local windows
     # lack the coverage to constrain focal/distortion.
     refine = free_cams is None and (cfg.ba.refine_focal or cfg.ba.refine_distortion)
-    prob, cams, pids = build_problem(rec, free_cams=free_cams, refine_intrinsics=refine)
+    cam_indices = None
+    if free_cams is not None:
+        cam_indices = _local_ba_cameras(rec, free_cams, cfg.engine.local_ba_max_cameras)
+    prob, cams, pids = build_problem(
+        rec, cam_indices=cam_indices, free_cams=free_cams, refine_intrinsics=refine
+    )
     out, stats = dispatch_bundle_adjust(prob, cfg)
     # rec.points is a view into st.points (materialize), so writeback lands
     # directly in the engine state; poses are plain arrays and copy back.
@@ -375,7 +398,14 @@ def incremental_reconstruct(
                 _filter_observations(st, cfg)
             since_global += len(registered_round)
             since_retri += len(registered_round)
-            if since_global >= cfg.engine.global_ba_every:
+            # Geometric schedule: at scale, run global BA on ~25% model
+            # growth rather than every k registrations (COLMAP-style) — a
+            # fixed period means O(B) ever-larger global solves.
+            ba_period = max(
+                cfg.engine.global_ba_every,
+                int((cfg.engine.global_ba_growth - 1.0) * st.registered.sum()),
+            )
+            if since_global >= ba_period:
                 _run_ba(st, cfg)
                 _filter_observations(st, cfg)
                 _triangulate_new(st, cfg, cfg.verbose)
