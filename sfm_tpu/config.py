@@ -145,6 +145,7 @@ class PartitionConfig:
     target_cluster_size: int = 250
     overlap_cameras: int = 10           # boundary cameras duplicated between clusters
     merge_global_ba: bool = True
+    parallel_clusters: int = 1          # threaded per-cluster dispatch (EP analog)
 
 
 @dataclass(frozen=True)

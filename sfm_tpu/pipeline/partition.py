@@ -28,14 +28,30 @@ def partition_images(graph: MatchGraph, num_images: int, target_size: int, overl
     the `overlap` most-connected outside images so neighbouring clusters
     share cameras for the merge alignment.
     """
-    W = np.zeros((num_images, num_images), np.int64)
-    for e in range(len(graph.pairs)):
-        if graph.ok[e]:
-            i, j = graph.pairs[e]
-            W[i, j] = W[j, i] = int(graph.num_inliers[e])
+    # Sparse adjacency (CSR): the round-1 dense [B, B] matrix plus per-step
+    # row slicing was O(B^2) memory / O(B^3)-ish host time — 800MB and hours
+    # at Rome16K scale. Connectivity-to-cluster is maintained incrementally:
+    # adding member m costs one sparse row add.
+    from scipy.sparse import csr_matrix
+
+    ok_e = np.where(graph.ok)[0]
+    i_arr = graph.pairs[ok_e, 0].astype(np.int64)
+    j_arr = graph.pairs[ok_e, 1].astype(np.int64)
+    w_arr = graph.num_inliers[ok_e].astype(np.float64)
+    W = csr_matrix(
+        (np.concatenate([w_arr, w_arr]),
+         (np.concatenate([i_arr, j_arr]), np.concatenate([j_arr, i_arr]))),
+        shape=(num_images, num_images),
+    )
+    degree = np.asarray(W.sum(axis=1)).reshape(-1)
+
+    def row(m: int) -> np.ndarray:
+        out = np.zeros(num_images)
+        s, e = W.indptr[m], W.indptr[m + 1]
+        out[W.indices[s:e]] = W.data[s:e]
+        return out
 
     assigned = np.zeros(num_images, bool)
-    degree = W.sum(1)
     clusters = []
     while not assigned.all():
         remaining = np.where(~assigned)[0]
@@ -43,27 +59,30 @@ def partition_images(graph: MatchGraph, num_images: int, target_size: int, overl
             # Isolated images: one throwaway cluster each (they cannot register).
             assigned[remaining] = True
             break
-        seed = remaining[np.argmax(degree[remaining])]
-        members = [int(seed)]
+        seed = int(remaining[np.argmax(degree[remaining])])
+        members = [seed]
         assigned[seed] = True
+        conn = row(seed)                       # connectivity of ALL images to cluster
         while len(members) < target_size and not assigned.all():
-            conn = W[members][:, ~assigned].sum(0)
-            if conn.max() == 0:
+            cand = np.where(conn > 0, ~assigned, False)
+            masked = np.where(cand, conn, 0.0)
+            nxt = int(np.argmax(masked))
+            if masked[nxt] == 0:
                 break
-            nxt = np.where(~assigned)[0][np.argmax(conn)]
-            members.append(int(nxt))
+            members.append(nxt)
             assigned[nxt] = True
+            conn += row(nxt)
         core = np.asarray(members)
         # Overlap: strongest outside connections (may already be in another cluster).
-        outside = np.setdiff1d(np.arange(num_images), core)
-        if len(outside) and overlap > 0:
-            conn = W[core][:, outside].sum(0)
-            extra = outside[np.argsort(-conn)[:overlap]]
-            extra = extra[conn[np.argsort(-conn)[:overlap]] > 0]
+        if overlap > 0:
+            conn_out = conn.copy()
+            conn_out[core] = 0.0
+            extra = np.argsort(-conn_out)[:overlap]
+            extra = extra[conn_out[extra] > 0]
             cluster = np.concatenate([core, extra])
         else:
             cluster = core
-        clusters.append(np.sort(cluster))
+        clusters.append(np.sort(cluster.astype(np.int64)))
     return clusters
 
 
@@ -93,21 +112,34 @@ def partitioned_reconstruct(
         print(f"[sfm_tpu] partitioned {B} images into {len(clusters)} clusters: "
               f"{[len(c) for c in clusters]}")
 
-    recs = []
-    for ci, cluster in enumerate(clusters):
+    def run_cluster(ci_cluster):
+        ci, cluster = ci_cluster
         if len(cluster) < 2:
-            continue
+            return None
         sub = _mask_graph_to_cluster(graph, cluster)
         if not sub.ok.any():
-            continue
+            return None
         try:
             rec = incremental_reconstruct(feats, sub, intrinsics, cfg)
         except RuntimeError as e:
             if cfg.verbose:
                 print(f"[sfm_tpu] cluster {ci} failed: {e}")
-            continue
-        if rec.num_registered >= 2:
-            recs.append(rec)
+            return None
+        return rec if rec.num_registered >= 2 else None
+
+    # EP-analog dispatch (SURVEY.md §2.9): clusters are independent work
+    # units. parallel_clusters > 1 overlaps their host-side bookkeeping with
+    # device work via threads (on a pod, each thread's jit dispatches ride
+    # its own chip group; single-chip runs still overlap host/device time).
+    workers = max(1, cfg.partition.parallel_clusters)
+    work = list(enumerate(clusters))
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            recs = [r for r in ex.map(run_cluster, work) if r is not None]
+    else:
+        recs = [r for r in map(run_cluster, work) if r is not None]
     if not recs:
         raise RuntimeError("no cluster produced a reconstruction")
 
