@@ -179,6 +179,24 @@ class _NormalEq(NamedTuple):
     bc: jnp.ndarray       # [C, 6]
     bp: jnp.ndarray       # [P, 3]
     M_inv: jnp.ndarray    # [C, 6, 6] Schur-Jacobi preconditioner, inverted
+    point_bounds: jnp.ndarray | None = None  # [P+1] segment offsets (sorted path)
+
+
+def _point_reduce(values: jnp.ndarray, prob: BAProblem, bounds, axis_name) -> jnp.ndarray:
+    """Observation->point segment reduction for values [O, ...].
+
+    Single-chip problems keep observations SORTED by point (ba/problem.py),
+    so the reduction is a cumulative sum + gather at segment offsets — no
+    scatter-add (which serializes on TPU and runs twice per CG iteration).
+    fp32 prefix-sum cancellation is ~1e-7 * sqrt(O) relative, well under the
+    solver's own tolerance. The sharded path (reordered by camera) and any
+    caller without bounds falls back to the XLA scatter.
+    """
+    if bounds is None or axis_name is not None:
+        return jax.ops.segment_sum(values, prob.obs_point, prob.num_points)
+    zeros = jnp.zeros_like(values[:1])
+    cs = jnp.concatenate([zeros, jnp.cumsum(values, axis=0)], axis=0)
+    return cs[bounds[1:]] - cs[bounds[:-1]]
 
 
 def _sym_solve3(A: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
@@ -297,12 +315,30 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     Hpp_inv = _sym_solve3(Hpp_d)
 
     # Schur-Jacobi preconditioner: exact block diagonal of S.
-    WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
-    M = Hcc_d - _maybe_psum(_cam_reduce(WHW, prob.obs_cam, C, axis_name), axis_name)
+    from sfm_tpu.kernels import schur_spmv
+
+    if (axis_name is None and jax.default_backend() == "tpu"
+            and C <= schur_spmv._MAX_CAMS and cam_params.shape[-1] == CAM_DIM
+            and W.shape[0] % min(schur_spmv._TILE_OBS, W.shape[0]) == 0):
+        O = W.shape[0]
+        whw_sum = schur_spmv.whw_cam_reduce(
+            W.reshape(O, 18), Hpp_inv[prob.obs_point].reshape(O, 9), prob.obs_cam, C
+        ).reshape(C, 6, 6)
+    else:
+        WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
+        whw_sum = _cam_reduce(WHW, prob.obs_cam, C, axis_name)
+    M = Hcc_d - _maybe_psum(whw_sum, axis_name)
     M = M + 1e-6 * eyec[None]
     M_inv = jnp.linalg.inv(M)
 
-    return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv)
+    bounds = None
+    if axis_name is None:
+        # Sorted-by-point contract (build_problem) -> segment offsets for the
+        # scatter-free point reductions inside CG and back-substitution.
+        bounds = jnp.searchsorted(prob.obs_point, jnp.arange(P + 1, dtype=prob.obs_point.dtype))
+
+    return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv,
+                     point_bounds=bounds)
 
 
 def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None,
@@ -316,7 +352,7 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
     dense-Schur column assembly batches this function, and a vmapped
     pallas_call does not lower)."""
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
-    g = _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
+    g = _maybe_psum(_point_reduce(u, prob, ne.point_bounds, axis_name), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
     if use_kernel:
@@ -401,7 +437,7 @@ def _dense_schur_solve(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BA
 def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """dp = Hpp^-1 (bp - W^T dc)."""
     u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
-    g = ne.bp - _maybe_psum(jax.ops.segment_sum(u, prob.obs_point, prob.num_points), axis_name)
+    g = ne.bp - _maybe_psum(_point_reduce(u, prob, ne.point_bounds, axis_name), axis_name)
     return jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)
 
 

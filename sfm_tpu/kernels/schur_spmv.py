@@ -248,6 +248,75 @@ def fused_ne_payloads(
     return w_t.T, yp_t.T, camred_t.T
 
 
+def _whw_kernel(ids_ref, w_ref, hinv_ref, out_ref, acc_ref):
+    """Per-observation W_o Hpp_inv_{p(o)} W_o^T (6x6) formed in VMEM and
+    reduced straight into the per-camera accumulator — the Schur-Jacobi
+    preconditioner's [O,6,6] einsum never touches HBM. Feature-major layout
+    like the fused NE kernel."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    T = ids_ref.shape[1]
+    C = acc_ref.shape[1]
+    ids = ids_ref[:]
+    onehot_t = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.float32)
+    w = w_ref[:]                                     # [18, T], row i*3+k = W[i, k]
+    hv = hinv_ref[:]                                 # [9, T],  row k*3+l = Hinv[k, l]
+
+    def W(i, k):
+        return w[i * 3 + k:i * 3 + k + 1, :]
+
+    def Hi(k, l):
+        return hv[k * 3 + l:k * 3 + l + 1, :]
+
+    # u[i, l] = sum_k W[i,k] Hinv[k,l];  whw[i, j] = sum_l u[i,l] W[j,l]
+    u = [[W(i, 0) * Hi(0, l) + W(i, 1) * Hi(1, l) + W(i, 2) * Hi(2, l) for l in range(3)]
+         for i in range(6)]
+    rows = [u[i][0] * W(j, 0) + u[i][1] * W(j, 1) + u[i][2] * W(j, 2)
+            for i in range(6) for j in range(6)]
+    payload_t = jnp.concatenate(rows, axis=0)        # [36, T]
+    acc_ref[:] += jax.lax.dot_general(
+        payload_t, onehot_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("num_cameras", "interpret"))
+def whw_cam_reduce(W_flat: jnp.ndarray, hinv_o: jnp.ndarray, obs_cam: jnp.ndarray,
+                   num_cameras: int, interpret: bool = False) -> jnp.ndarray:
+    """sum_o onehot(cam_o) * vec(W_o Hinv_o W_o^T): [O,18],[O,9] -> [C,36]."""
+    O = W_flat.shape[0]
+    C = num_cameras
+    if C > _MAX_CAMS or (jax.default_backend() == "cpu" and not interpret):
+        WHW = jnp.einsum(
+            "oij,ojk,olk->oil", W_flat.reshape(O, 6, 3),
+            hinv_o.reshape(O, 3, 3), W_flat.reshape(O, 6, 3),
+        ).reshape(O, 36)
+        return jax.ops.segment_sum(WHW, obs_cam, C)
+    T = min(_TILE_OBS, O)
+    assert O % T == 0
+    out_t = pl.pallas_call(
+        _whw_kernel,
+        grid=(O // T,),
+        in_specs=[
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((36, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((36, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((36, C), jnp.float32)],
+        interpret=interpret,
+    )(obs_cam.astype(jnp.int32)[None, :], W_flat.T, hinv_o.T)
+    return out_t.T
+
+
 def _cam_segsum_kernel(ids_ref, vals_ref, out_ref, acc_ref):
     step = pl.program_id(0)
 

@@ -158,6 +158,26 @@ def test_fused_pallas_ne_matches_xla_path():
     close(bp_f, bp, "bp")
 
 
+def test_whw_cam_reduce_matches_xla():
+    import jax as _jax
+    from sfm_tpu.kernels.schur_spmv import whw_cam_reduce
+
+    rng = np.random.default_rng(2)
+    O, C = 2048, 48
+    W = jnp.asarray(rng.normal(size=(O, 18)).astype(np.float32))
+    A = rng.normal(size=(O, 3, 3)).astype(np.float32)
+    hinv = jnp.asarray((A @ A.transpose(0, 2, 1)).reshape(O, 9))  # SPD-ish blocks
+    ids = jnp.asarray(rng.integers(0, C, O).astype(np.int32))
+    out = whw_cam_reduce(W, hinv, ids, C, interpret=_jax.default_backend() != "tpu")
+    ref = jax.ops.segment_sum(
+        jnp.einsum("oij,ojk,olk->oil", W.reshape(O, 6, 3), hinv.reshape(O, 3, 3),
+                   W.reshape(O, 6, 3)).reshape(O, 36),
+        ids, C,
+    )
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out) / scale, np.asarray(ref) / scale, atol=2e-5)
+
+
 def test_cam_segment_sum_matches_xla():
     import jax as _jax
     from sfm_tpu.kernels.schur_spmv import cam_segment_sum
