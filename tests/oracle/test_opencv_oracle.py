@@ -39,6 +39,43 @@ def test_keypoint_repeatability_vs_cv2(blob_images):
         assert (d < 2.0).mean() > 0.7, (d < 2.0).mean()
 
 
+def test_fundamental_vs_cv2_on_synthetic():
+    """The uncalibrated 8-point F solver agrees with cv2.findFundamentalMat:
+    comparable epipolar (Sampson) residuals on noisy correspondences
+    (SURVEY.md §1.4 uncalibrated verification path)."""
+    scene = make_orbit_scene(num_cameras=2, num_points=200, noise_px=0.5, seed=9, arc_fraction=0.12)
+    vis = scene.visible[0] & scene.visible[1]
+    uv1 = scene.pixels[0][vis].astype(np.float64)
+    uv2 = scene.pixels[1][vis].astype(np.float64)
+    F_cv, inl_cv = cv2.findFundamentalMat(uv1, uv2, cv2.FM_RANSAC, 2.0, 0.999)
+
+    u1 = jnp.asarray(uv1, jnp.float32)
+    u2 = jnp.asarray(uv2, jnp.float32)
+    F_ours = solvers.fundamental_8pt(u1, u2)
+
+    def med_sampson(F):
+        e = np.asarray(solvers.sampson_error(jnp.asarray(F, jnp.float32), u1, u2))
+        return float(np.median(np.sqrt(e)))
+
+    ours = med_sampson(np.asarray(F_ours))
+    cv = med_sampson(F_cv)
+    assert ours < max(2.0 * cv, 1.0), (ours, cv)
+    # And the full F-RANSAC verify path keeps most true correspondences.
+    from sfm_tpu.config import RansacConfig
+    from sfm_tpu.ops.verify import verify_block
+
+    cfgF = RansacConfig(num_hypotheses=512, min_inliers=15, error_threshold_px=2.0, model="fundamental")
+    M = len(uv1)
+    geom = verify_block(
+        jax.random.PRNGKey(0)[None], u1[None], u2[None],
+        jnp.ones((1, M), bool),
+        jnp.asarray(scene.intrinsics[0])[None], jnp.asarray(scene.intrinsics[1])[None],
+        cfgF,
+    )
+    assert bool(geom.ok[0])
+    assert int(geom.num_inliers[0]) >= 0.8 * int(inl_cv.sum())
+
+
 def test_essential_vs_cv2_on_synthetic():
     """Our batched essential solver agrees with cv2.findEssentialMat."""
     scene = make_orbit_scene(num_cameras=2, num_points=150, noise_px=0.5, seed=5, arc_fraction=0.12)
