@@ -28,6 +28,26 @@ from sfm_tpu.scene.state import Reconstruction
 _PNP_CAP = 2048      # 2D-3D correspondence budget per registration
 _TRI_VIEW_CAP = 8    # observations used per track triangulation
 
+# Engine-internal wall-clock accounting, printed at the end of a run when
+# SFM_TPU_ENGINE_PROFILE is set (SURVEY.md §5.1 observability).
+_PROF: dict[str, float] = {}
+
+
+def _prof(name: str):
+    import contextlib
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def cm():
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            _PROF[name] = _PROF.get(name, 0.0) + time.perf_counter() - t0
+
+    return cm() if os.environ.get("SFM_TPU_ENGINE_PROFILE") else contextlib.nullcontext()
+
 
 def _bucket(n: int, base: int = 256) -> int:
     cap = base
@@ -379,23 +399,27 @@ def incremental_reconstruct(
         order = np.argsort(-counts)
         round_size = max(1, min(cfg.engine.local_ba_window // 2, 3))
         registered_round: list[int] = []
-        for img in order[:round_size + 2]:
-            if len(registered_round) >= round_size:
-                break
-            if counts[img] < cfg.engine.abs_pose_min_inliers:
-                break
-            key, sub = jax.random.split(key)
-            if _pnp_register(st, int(img), cfg, sub):
-                registered_round.append(int(img))
-            else:
-                st.failed[img] = True
+        with _prof("pnp"):
+            for img in order[:round_size + 2]:
+                if len(registered_round) >= round_size:
+                    break
+                if counts[img] < cfg.engine.abs_pose_min_inliers:
+                    break
+                key, sub = jax.random.split(key)
+                if _pnp_register(st, int(img), cfg, sub):
+                    registered_round.append(int(img))
+                else:
+                    st.failed[img] = True
         if registered_round:
             recent.extend(registered_round)
-            n_new = _triangulate_new(st, cfg, cfg.verbose)
+            with _prof("triangulate"):
+                n_new = _triangulate_new(st, cfg, cfg.verbose)
             window = recent[-cfg.engine.local_ba_window:]
-            _run_ba(st, cfg, free_cams=np.asarray(window))
+            with _prof("local_ba"):
+                _run_ba(st, cfg, free_cams=np.asarray(window))
             if cfg.engine.filter_every:
-                _filter_observations(st, cfg)
+                with _prof("filter"):
+                    _filter_observations(st, cfg)
             since_global += len(registered_round)
             since_retri += len(registered_round)
             # Geometric schedule: at scale, run global BA on ~25% model
@@ -406,9 +430,12 @@ def incremental_reconstruct(
                 int((cfg.engine.global_ba_growth - 1.0) * st.registered.sum()),
             )
             if since_global >= ba_period:
-                _run_ba(st, cfg)
-                _filter_observations(st, cfg)
-                _triangulate_new(st, cfg, cfg.verbose)
+                with _prof("global_ba"):
+                    _run_ba(st, cfg)
+                with _prof("filter"):
+                    _filter_observations(st, cfg)
+                with _prof("triangulate"):
+                    _triangulate_new(st, cfg, cfg.verbose)
                 since_global = 0
                 since_retri = 0
             elif cfg.engine.retriangulate_every and since_retri >= cfg.engine.retriangulate_every:
@@ -439,8 +466,14 @@ def incremental_reconstruct(
             break
 
     # Final polish: global BA + filter + last retriangulation + BA.
-    _run_ba(st, cfg)
-    _filter_observations(st, cfg)
-    _triangulate_new(st, cfg, cfg.verbose)
-    _run_ba(st, cfg)
+    with _prof("global_ba"):
+        _run_ba(st, cfg)
+        _filter_observations(st, cfg)
+        _triangulate_new(st, cfg, cfg.verbose)
+        _run_ba(st, cfg)
+    import os
+
+    if os.environ.get("SFM_TPU_ENGINE_PROFILE") and cfg.verbose:
+        print(f"[sfm_tpu] engine profile (s): " +
+              ", ".join(f"{k}={v:.1f}" for k, v in sorted(_PROF.items())))
     return st.materialize()
