@@ -49,6 +49,28 @@ def _prof(name: str):
     return cm() if os.environ.get("SFM_TPU_ENGINE_PROFILE") else contextlib.nullcontext()
 
 
+@jax.jit
+def _p2c_jit(uv, intr):
+    return pixel_to_camera(uv, intr)
+
+
+def _pixel_to_camera_padded(uv_pix: np.ndarray, intr: np.ndarray) -> np.ndarray:
+    """Host->jit pixel normalization over bucket-padded arrays.
+
+    Eager jnp calls on variable-length arrays cost seconds each on a remote
+    device and recompile per length; this pads to power-of-2 buckets so one
+    compiled program serves each bucket."""
+    n = len(uv_pix)
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    uv = np.zeros((cap, 2), np.float32)
+    it = np.ones((cap, 6), np.float32)
+    uv[:n] = uv_pix
+    it[:n] = intr
+    return np.asarray(_p2c_jit(jnp.asarray(uv), jnp.asarray(it)))[:n]
+
+
 def _bucket(n: int, base: int = 256) -> int:
     cap = base
     n = max(n, 1)
@@ -190,9 +212,7 @@ def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int
     rvecs[slots, rank] = st.rvecs[imgs]
     tvecs[slots, rank] = st.tvecs[imgs]
     uv_pix = st.feats.xy[imgs, tr.obs_kp[rows]]
-    xy[slots, rank] = np.asarray(
-        pixel_to_camera(jnp.asarray(uv_pix), jnp.asarray(st.intrinsics[imgs]))
-    )
+    xy[slots, rank] = _pixel_to_camera_padded(uv_pix, st.intrinsics[imgs])
     mask[slots, rank] = True
 
     f_mean = float(np.mean(st.intrinsics[st.registered, 0]))
@@ -242,7 +262,9 @@ def _pnp_register(st: EngineState, img: int, cfg: PipelineConfig, key) -> bool:
     mask = np.zeros(_PNP_CAP, bool)
     X[: len(rows)] = pts_arr[pids]
     uv_pix = st.feats.xy[img, tr.obs_kp[rows]]
-    uv[: len(rows)] = np.asarray(pixel_to_camera(jnp.asarray(uv_pix), jnp.asarray(st.intrinsics[img])))
+    uv[: len(rows)] = _pixel_to_camera_padded(
+        uv_pix, np.broadcast_to(st.intrinsics[img], (len(rows), 6))
+    )
     mask[: len(rows)] = True
 
     f = (st.intrinsics[img, 0] + st.intrinsics[img, 1]) * 0.5

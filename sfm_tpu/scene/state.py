@@ -18,7 +18,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from sfm_tpu.geometry.projection import project
+import jax
 import jax.numpy as jnp
+
+
+@jax.jit
+def _reproj_err_jit(pts, rv, tv, intr, uv):
+    proj = project(pts, rv, tv, intr)
+    return jnp.linalg.norm(proj - uv, axis=-1)
 
 
 @dataclass
@@ -57,16 +64,32 @@ class Reconstruction:
         return 0 if self.obs_point is None else len(self.obs_point)
 
     def reprojection_errors(self) -> np.ndarray:
-        """Per-observation reprojection error in pixels. [O]."""
+        """Per-observation reprojection error in pixels. [O].
+
+        One jitted call over bucket-padded arrays: the engine evaluates this
+        every registration round, and the eager-op version cost seconds per
+        call on a remote device (it was 56% of incremental wall-clock)."""
         if self.num_observations == 0:
             return np.zeros(0, dtype=np.float32)
-        pts = jnp.asarray(self.points[self.obs_point])
-        rv = jnp.asarray(self.rvecs[self.obs_image])
-        tv = jnp.asarray(self.tvecs[self.obs_image])
-        intr = jnp.asarray(self.intrinsics[self.obs_image])
-        proj = project(pts, rv, tv, intr)
-        err = np.linalg.norm(np.asarray(proj) - self.obs_uv, axis=-1)
-        return err.astype(np.float32)
+        O = self.num_observations
+        cap = 1024
+        while cap < O:
+            cap *= 2
+        pts = np.zeros((cap, 3), np.float32)
+        rv = np.zeros((cap, 3), np.float32)
+        tv = np.zeros((cap, 3), np.float32)
+        intr = np.ones((cap, 6), np.float32)
+        uv = np.zeros((cap, 2), np.float32)
+        pts[:O] = self.points[self.obs_point]
+        rv[:O] = self.rvecs[self.obs_image]
+        tv[:O] = self.tvecs[self.obs_image]
+        intr[:O] = self.intrinsics[self.obs_image]
+        uv[:O] = self.obs_uv
+        err = np.asarray(_reproj_err_jit(
+            jnp.asarray(pts), jnp.asarray(rv), jnp.asarray(tv),
+            jnp.asarray(intr), jnp.asarray(uv),
+        ))
+        return err[:O].astype(np.float32)
 
     def mean_reprojection_error(self) -> float:
         """Mean pixel reprojection error over observations of valid points."""
