@@ -61,7 +61,12 @@ def main():
                             max_observations=max(1 << 20, 4096 * n)),
         ba=BAConfig(max_iterations=15),
         vocab=VocabConfig(num_neighbors=min(12, n - 1)),
-        partition=PartitionConfig(enabled=partition, target_cluster_size=25, overlap_cameras=6),
+        partition=PartitionConfig(
+            enabled=partition,
+            target_cluster_size=max(25, n // 16),
+            overlap_cameras=6,
+            parallel_clusters=4 if n >= 256 else 1,
+        ),
         pair_mode=pair_mode,
         verbose=True,
     )

@@ -77,9 +77,12 @@ class VocabTree:
         self.branching = branching
         self.depth = depth
         self.num_words = branching**depth
+        self._descend_jit = None
 
-    def quantize(self, desc: jnp.ndarray) -> jnp.ndarray:
-        """desc [N, D] -> leaf/word id [N]. One MXU matmul per level.
+    _CHUNK = 65536  # descent rows per dispatch: [chunk, words] sim <= ~1GB
+
+    def _descend(self, desc: jnp.ndarray) -> jnp.ndarray:
+        """Tree descent for one chunk. One MXU matmul per level.
 
         Similarities against ALL centers of the level come from one dense
         matmul, then each descriptor selects its node's child window with a
@@ -100,6 +103,24 @@ class VocabTree:
                 sim = jnp.einsum("nd,nbd->nb", desc, ctrs[cand])   # batched
             node = cand[jnp.arange(desc.shape[0]), jnp.argmax(sim, axis=1)]
         return node
+
+    def quantize(self, desc: jnp.ndarray) -> jnp.ndarray:
+        """desc [N, D] -> leaf/word id [N], chunked so the per-level
+        similarity matrix stays ~1GB regardless of corpus size (at 1M
+        descriptors the unchunked [N, words] matmul OOMs 16GB HBM)."""
+        N = desc.shape[0]
+        if N <= self._CHUNK:
+            return self._descend(desc)
+        if self._descend_jit is None:
+            self._descend_jit = jax.jit(self._descend)
+        outs = []
+        for s in range(0, N, self._CHUNK):
+            chunk = desc[s:s + self._CHUNK]
+            pad = self._CHUNK - chunk.shape[0]
+            if pad:
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+            outs.append(self._descend_jit(chunk))
+        return jnp.concatenate(outs)[:N]
 
 
 def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w: np.ndarray | None = None) -> VocabTree:
