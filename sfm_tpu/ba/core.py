@@ -228,11 +228,12 @@ def _use_fused_ne(prob: BAProblem, cam_params, axis_name) -> bool:
     count within the kernel's VMEM accumulator budget, TPU backend."""
     from sfm_tpu.kernels import schur_spmv
 
+    O = prob.obs_w.shape[0]
     return (
         axis_name is None
         and cam_params.shape[-1] == CAM_DIM
         and prob.num_cameras <= schur_spmv._MAX_CAMS
-        and prob.obs_w.shape[0] % min(schur_spmv._TILE_OBS, prob.obs_w.shape[0]) == 0
+        and (O % 1024 == 0 or O <= schur_spmv._TILE_OBS)  # tile divisibility
         and jax.default_backend() == "tpu"
     )
 

@@ -213,10 +213,14 @@ def fused_ne_payloads(
     transposes on both sides so callers see observation-major arrays.
     """
     O = obs_cam.shape[0]
-    T = min(_TILE_OBS, O)
+    C = num_cameras
+    # VMEM budget: the kernel holds ~150 [1,T] scalar rows (each padded to 8
+    # sublanes), the [C,T] one-hot, and the [48,C] accumulator — shrink the
+    # tile as C grows (C=1024 at T=1024 was 17.5MB > 16MB).
+    T = 1024 if C <= 512 else (512 if C <= 1024 else 256)
+    T = min(T, O)
     assert O % T == 0, "observation capacity must be a multiple of the tile"
     grid = (O // T,)
-    C = num_cameras
     kern = partial(_fused_ne_kernel, robust_loss, robust_scale)
     w_t, yp_t, camred_t = pl.pallas_call(
         kern,
@@ -299,7 +303,7 @@ def whw_cam_reduce(W_flat: jnp.ndarray, hinv_o: jnp.ndarray, obs_cam: jnp.ndarra
             hinv_o.reshape(O, 3, 3), W_flat.reshape(O, 6, 3),
         ).reshape(O, 36)
         return jax.ops.segment_sum(WHW, obs_cam, C)
-    T = min(_TILE_OBS, O)
+    T = min(_TILE_OBS if C <= 1024 else 512, O)
     assert O % T == 0
     out_t = pl.pallas_call(
         _whw_kernel,
@@ -354,7 +358,7 @@ def cam_segment_sum(values: jnp.ndarray, obs_cam: jnp.ndarray, num_cameras: int,
     if num_cameras > _MAX_CAMS or (jax.default_backend() == "cpu" and not interpret):
         return jax.ops.segment_sum(values, obs_cam, num_cameras)
 
-    T = min(_TILE_OBS, O)
+    T = min(_TILE_OBS if num_cameras <= 1024 else 512, O)
     pad = (-O) % T
     if pad:
         values = jnp.pad(values, ((0, pad), (0, 0)))
