@@ -158,6 +158,27 @@ def test_fused_pallas_ne_matches_xla_path():
     close(bp_f, bp, "bp")
 
 
+def test_local_ba_camera_selection_prefers_coobservers():
+    """_local_ba_cameras returns the window plus the cameras most
+    co-observing its points, capped (keeps local BA O(window) at scale)."""
+    from sfm_tpu.pipeline.engine import _local_ba_cameras
+
+    scene = make_orbit_scene(num_cameras=12, num_points=80, noise_px=0.0, seed=11)
+    rec = scene_to_reconstruction(scene)
+    window = np.array([10, 11])
+    cams = _local_ba_cameras(rec, window, cap=6)
+    assert len(cams) <= 6
+    assert set(window).issubset(set(cams.tolist()))
+    # Cameras that co-observe nothing with the window are excluded: cut the
+    # observation table down to window-only cameras and re-select.
+    lone = rec
+    keep = np.isin(lone.obs_image, window)
+    lone.obs_point, lone.obs_image = lone.obs_point[keep], lone.obs_image[keep]
+    lone.obs_kp, lone.obs_uv = lone.obs_kp[keep], lone.obs_uv[keep]
+    cams2 = _local_ba_cameras(lone, window, cap=6)
+    assert set(cams2.tolist()) == set(window.tolist())
+
+
 def test_whw_cam_reduce_matches_xla():
     import jax as _jax
     from sfm_tpu.kernels.schur_spmv import whw_cam_reduce
