@@ -98,6 +98,9 @@ def _make_ba_problem(seed: int):
         obs_w=jnp.ones(O, jnp.float32),
         cam_fixed=jnp.asarray(np.arange(C) == 0),
         point_fixed=jnp.zeros(P, bool),
+        # Observations are sorted by point in 8-long segments at 8-aligned
+        # offsets, so no segment straddles a 256-multiple boundary.
+        point_align=256,
     )
 
 

@@ -180,6 +180,12 @@ class _NormalEq(NamedTuple):
     bp: jnp.ndarray       # [P, 3]
     M_inv: jnp.ndarray    # [C, 6, 6] Schur-Jacobi preconditioner, inverted
     point_bounds: jnp.ndarray | None = None  # [P+1] segment offsets (sorted path)
+    # Fused-matvec views (kernels/schur_spmv.schur_coupling_matvec); present
+    # only when the kernel gate is active. mv_tile is a trace-time Python int.
+    w_t: jnp.ndarray | None = None      # [18, O] feature-major W
+    hinv_t: jnp.ndarray | None = None   # [9, O] per-obs Hpp_inv, feature-major
+    lids: jnp.ndarray | None = None     # [O] tile-local point ids
+    mv_tile: int = 0
 
 
 def _point_reduce(values: jnp.ndarray, prob: BAProblem, bounds, axis_name) -> jnp.ndarray:
@@ -338,8 +344,37 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
         # scatter-free point reductions inside CG and back-substitution.
         bounds = jnp.searchsorted(prob.obs_point, jnp.arange(P + 1, dtype=prob.obs_point.dtype))
 
+    # Fused-matvec views: feature-major W, per-observation Hpp_inv, and
+    # tile-local point ids for the [T,T] point one-hot (valid under the
+    # problem's point_align certificate).
+    w_t = hinv_t = lids = None
+    mv_tile = _matvec_kernel_tile(prob, cam_params, axis_name)
+    if mv_tile:
+        O = W.shape[0]
+        w_t = W.reshape(O, 18).T
+        hinv_t = Hpp_inv.reshape(P, 9)[prob.obs_point].T
+        op = prob.obs_point.reshape(O // mv_tile, mv_tile)
+        lids = (op - op[:, :1]).reshape(O)
+
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv,
-                     point_bounds=bounds)
+                     point_bounds=bounds, w_t=w_t, hinv_t=hinv_t, lids=lids,
+                     mv_tile=mv_tile)
+
+
+def _matvec_kernel_tile(prob: BAProblem, cam_params, axis_name) -> int:
+    """Static gate for the fused Schur coupling matvec kernel: single-chip,
+    pose-only camera blocks, point-tile-aligned observations, TPU backend.
+    Returns the observation tile (0 = kernel off)."""
+    from sfm_tpu.kernels import schur_spmv
+
+    if axis_name is not None or cam_params.shape[-1] != CAM_DIM:
+        return 0
+    if jax.default_backend() != "tpu":
+        return 0
+    T = schur_spmv.matvec_tile(prob.num_cameras, prob.point_align)
+    if T == 0 or prob.obs_w.shape[0] % T != 0:
+        return 0
+    return T
 
 
 def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None,
@@ -352,6 +387,13 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
     use_kernel=False forces the XLA scatter (required under vmap — the
     dense-Schur column assembly batches this function, and a vmapped
     pallas_call does not lower)."""
+    if use_kernel and ne.mv_tile:
+        from sfm_tpu.kernels.schur_spmv import schur_coupling_matvec
+
+        coupling = schur_coupling_matvec(
+            prob.obs_cam, ne.lids, ne.w_t, ne.hinv_t, v, tile=ne.mv_tile
+        )
+        return jnp.einsum("cij,cj->ci", ne.Hcc, v) - coupling
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
     g = _maybe_psum(_point_reduce(u, prob, ne.point_bounds, axis_name), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]

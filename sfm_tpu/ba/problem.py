@@ -2,9 +2,10 @@
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from sfm_tpu.scene.state import Reconstruction
@@ -13,14 +14,27 @@ CAM_DIM = 6   # rvec(3) + tvec(3); +2 (log-focal-scale, dk1) when refining intri
 CAM_DIM_INTR = 8
 PT_DIM = 3
 
+_ARRAY_FIELDS = (
+    "cam_params", "intrinsics", "points", "obs_cam", "obs_point",
+    "obs_uv", "obs_w", "cam_fixed", "point_fixed",
+)
 
-class BAProblem(NamedTuple):
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BAProblem:
     """Statically-shaped bundle adjustment problem.
 
     Cameras and points are indexed densely [0, C) / [0, P); observations are
     padded to a fixed budget with obs_w = 0. cam_fixed marks gauge-fixed or
     out-of-window cameras (their updates are zeroed — local BA windowing,
     SURVEY.md §2.6).
+
+    point_align is STATIC (pytree aux data, not a leaf): a nonzero value
+    certifies that observations are sorted by point and no point's segment
+    straddles a multiple of point_align — the contract the fused Pallas
+    Schur-matvec kernel (kernels/schur_spmv.py) needs to reduce point
+    segments tile-locally. jit specializes on it automatically.
     """
 
     cam_params: jnp.ndarray   # [C, 6] rvec + tvec
@@ -32,6 +46,17 @@ class BAProblem(NamedTuple):
     obs_w: jnp.ndarray        # [O] float (0 = padding)
     cam_fixed: jnp.ndarray    # [C] bool
     point_fixed: jnp.ndarray  # [P] bool
+    point_align: int = 0      # static tile-alignment certificate (0 = none)
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in _ARRAY_FIELDS), self.point_align
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, point_align=aux)
+
+    def _replace(self, **kwargs) -> "BAProblem":
+        return dataclasses.replace(self, **kwargs)
 
     @property
     def num_cameras(self):
@@ -40,6 +65,50 @@ class BAProblem(NamedTuple):
     @property
     def num_points(self):
         return self.points.shape[0]
+
+
+def _align_segments(obs_point_sorted: np.ndarray, base_tile: int = 256,
+                    max_tile: int = 1024) -> tuple[np.ndarray, int]:
+    """Compute per-observation output positions so that no point's segment
+    straddles a multiple of the chosen tile.
+
+    Greedy in one pass: whenever the next segment would cross a tile
+    boundary, skip to the boundary first (the gap is later filled with
+    zero-weight padding rows carrying the PREVIOUS point id, which keeps
+    point-sortedness). Alignment at `tile` implies alignment at every
+    multiple of `tile`, so kernels may use any tile that is a multiple of
+    the returned value.
+
+    Returns (positions [O], tile). tile = 0 means alignment failed (a single
+    segment longer than max_tile).
+    """
+    O = len(obs_point_sorted)
+    if O == 0:
+        return np.zeros(0, np.int64), base_tile
+    starts_mask = np.empty(O, bool)
+    starts_mask[0] = True
+    np.not_equal(obs_point_sorted[1:], obs_point_sorted[:-1], out=starts_mask[1:])
+    seg_starts = np.where(starts_mask)[0]
+    seg_lens = np.diff(np.append(seg_starts, O))
+    max_len = int(seg_lens.max())
+    tile = base_tile
+    while tile < max_len:
+        tile *= 2
+    if tile > max_tile:
+        return np.arange(O, dtype=np.int64), 0
+
+    # Greedy walk over segments (host-side; vectorizing is possible but the
+    # decision at segment i depends on all padding before it).
+    seg_offsets = np.empty(len(seg_lens), np.int64)
+    off = 0
+    for i, L in enumerate(seg_lens.tolist()):
+        rem = off % tile
+        if rem and rem + L > tile:
+            off += tile - rem
+        seg_offsets[i] = off
+        off += L
+    positions = seg_offsets[np.cumsum(starts_mask) - 1] + (np.arange(O) - seg_starts[np.cumsum(starts_mask) - 1])
+    return positions, tile
 
 
 def _round_up(n: int, m: int) -> int:
@@ -93,7 +162,20 @@ def build_problem(
     O = len(obs_rows)
     C = len(cam_indices)
     P = len(point_ids)
-    O_cap = obs_capacity or _round_up(O, 1024)
+    local_pts = pt_lut[rec.obs_point[obs_rows]]
+
+    # Tile-align point segments (see BAProblem.point_align): insert
+    # zero-weight padding rows so no segment straddles a tile boundary —
+    # the fused Schur-matvec kernel reduces point segments tile-locally.
+    positions, align = _align_segments(local_pts)
+    O_aligned = int(positions[-1]) + 1 if O else 0
+    if align and obs_capacity is not None and O_aligned > obs_capacity:
+        align = 0  # honor the caller's capacity bucket over alignment
+    if not align:
+        positions = np.arange(O, dtype=np.int64)
+        O_aligned = O
+
+    O_cap = obs_capacity or _round_up(O_aligned, 1024)
     P_cap = point_capacity or _round_up(P, 256)
     # Camera capacity is bucketed too: the incremental engine registers one
     # camera at a time, and without this every registration would recompile
@@ -101,15 +183,23 @@ def build_problem(
     C_cap = _round_up(C, 8)
 
     obs_cam = np.zeros(O_cap, np.int32)
-    # Padding rows point at the LAST segment so point sortedness survives
-    # padding (their contributions are exactly zero via obs_w = 0).
-    obs_point = np.full(O_cap, max(P_cap - 1, 0), np.int32)
     obs_uv = np.zeros((O_cap, 2), np.float32)
     obs_w = np.zeros(O_cap, np.float32)
-    obs_cam[:O] = cam_lut[rec.obs_image[obs_rows]]
-    obs_point[:O] = pt_lut[rec.obs_point[obs_rows]]
-    obs_uv[:O] = rec.obs_uv[obs_rows]
-    obs_w[:O] = 1.0
+    obs_cam[positions] = cam_lut[rec.obs_image[obs_rows]]
+    obs_uv[positions] = rec.obs_uv[obs_rows]
+    obs_w[positions] = 1.0
+    # Padding rows (alignment gaps + tail) carry the id of the PREVIOUS real
+    # observation's point so point-sortedness survives padding; their
+    # contributions are exactly zero via obs_w = 0. Rows before any real
+    # observation and the tail past the last one use the last point slot.
+    obs_point = np.full(O_cap, max(P_cap - 1, 0), np.int32)
+    if O:
+        obs_point[positions] = local_pts
+        mark = np.zeros(O_cap, bool)
+        mark[positions] = True
+        last_real = np.maximum.accumulate(np.where(mark, np.arange(O_cap), -1))
+        interior = (last_real >= 0) & (np.arange(O_cap) <= positions[-1])
+        obs_point[interior] = obs_point[np.maximum(last_real, 0)][interior]
 
     points = np.zeros((P_cap, 3), np.float32)
     points[:P] = rec.points[point_ids]
@@ -148,6 +238,7 @@ def build_problem(
         obs_w=jnp.asarray(obs_w),
         cam_fixed=jnp.asarray(fixed),
         point_fixed=jnp.asarray(np.arange(P_cap) >= P),
+        point_align=align,
     )
     return prob, cam_indices, point_ids
 

@@ -67,6 +67,7 @@ def shard_problem_by_camera(prob: BAProblem, num_shards: int) -> BAProblem:
         obs_point=prob.obs_point[idx],
         obs_uv=prob.obs_uv[idx],
         obs_w=jnp.asarray(w),
+        point_align=0,  # camera-major reorder voids the point-tile contract
     )
 
 

@@ -378,3 +378,113 @@ def cam_segment_sum(values: jnp.ndarray, obs_cam: jnp.ndarray, num_cameras: int,
         scratch_shapes=[pltpu.VMEM((num_cameras, K), jnp.float32)],
         interpret=interpret,
     )(ids2d, values.astype(jnp.float32))
+
+
+# ---- Fused Schur-complement coupling matvec --------------------------------
+
+
+def matvec_tile(num_cameras: int, point_align: int) -> int:
+    """Observation-tile choice for the fused coupling matvec.
+
+    Must be a multiple of the problem's point_align (so no point segment
+    straddles a tile), large enough for MXU efficiency, and small enough
+    that the [C,T] camera one-hot plus the [T,T] local-point indicator fit
+    in VMEM. Returns 0 when the kernel is not usable.
+    """
+    if point_align <= 0 or num_cameras > _MAX_CAMS:
+        return 0
+    T = 1024 if num_cameras <= 512 else 512
+    T = max(T, point_align)
+    vmem = 4 * (num_cameras * T + T * T) + (1 << 20)
+    if vmem > 12 * (1 << 20):
+        return 0
+    return T
+
+
+def _schur_coupling_kernel(ids_ref, lids_ref, w_ref, hinv_ref, v_ref, out_ref, acc_ref):
+    """One observation tile of the implicit Schur coupling term
+    (W Hpp^-1 W^T v), the hot op of every PCG iteration (ba/core.py):
+
+      u_o = W_o^T v[cam_o];  g_p = sum_{o in p} u_o;  h_p = Hpp_p^-1 g_p
+      out_c = sum_{o in c} W_o h_{p(o)}
+
+    All four index operations run on the MXU: v[cam_o] and the final
+    per-camera reduction via the camera one-hot, and the point
+    reduce-then-broadcast via the [T,T] TILE-LOCAL point one-hot — valid
+    because BAProblem.point_align certifies no point segment straddles a
+    tile boundary, so each point's full segment is resident in exactly one
+    tile. Feature-major layout throughout ([rows, obs]; a [T,k] column
+    layout pads every per-observation scalar to 128 lanes).
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    T = ids_ref.shape[1]
+    C = acc_ref.shape[1]
+    ids = ids_ref[:]
+    onehot_c = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.float32)
+    v_obs = jax.lax.dot_general(v_ref[:], onehot_c, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)        # [8, T]
+    w = w_ref[:]                                                           # [18, T]
+
+    def W(i, k):
+        return w[i * 3 + k:i * 3 + k + 1, :]
+
+    u_rows = [sum(W(i, k) * v_obs[i:i + 1, :] for i in range(6)) for k in range(3)]
+    u = jnp.concatenate(u_rows + [jnp.zeros((5, T), jnp.float32)], axis=0)  # [8, T]
+
+    # Tile-local point indicator: P[q, o] = [local_point(o) == q].
+    lids = lids_ref[:]
+    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.float32)
+    g_loc = jax.lax.dot_general(u, P_loc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)        # segment sums
+    g_obs = jax.lax.dot_general(g_loc, P_loc, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)        # broadcast back
+
+    hv = hinv_ref[:]                                                       # [9, T]
+    h = [sum(hv[k * 3 + l:k * 3 + l + 1, :] * g_obs[l:l + 1, :] for l in range(3))
+         for k in range(3)]
+    y_rows = [sum(W(i, k) * h[k] for k in range(3)) for i in range(6)]
+    y = jnp.concatenate(y_rows + [jnp.zeros((2, T), jnp.float32)], axis=0)  # [8, T]
+    acc_ref[:] += jax.lax.dot_general(y, onehot_c, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)   # [8, C]
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndarray,
+                          hinv_t: jnp.ndarray, v: jnp.ndarray, tile: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(W Hpp^-1 W^T) v for v [C,6] -> [C,6].
+
+    Feature-major inputs: w_t [18,O] (row i*3+k = W[i,k]), hinv_t [9,O]
+    (row k*3+l = Hpp_inv[k,l], gathered per observation), obs_cam [O],
+    lids [O] (point id minus the first point id of the observation's tile).
+    tile must come from matvec_tile() and divide O.
+    """
+    O = w_t.shape[1]
+    C = v.shape[0]
+    v8 = jnp.zeros((8, C), jnp.float32).at[:6].set(v.T)
+    out = pl.pallas_call(
+        _schur_coupling_kernel,
+        grid=(O // tile,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, C), jnp.float32)],
+        interpret=interpret,
+    )(obs_cam.astype(jnp.int32)[None, :], lids.astype(jnp.int32)[None, :],
+      w_t, hinv_t, v8)
+    return out[:6].T

@@ -307,3 +307,60 @@ def test_analytic_jacobians_match_jacfwd():
             np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=1e-5, atol=1e-3)
             np.testing.assert_allclose(np.asarray(Jc), np.asarray(J_ref)[:, :D], rtol=2e-3, atol=0.05)
             np.testing.assert_allclose(np.asarray(Jp), np.asarray(J_ref)[:, D:], rtol=2e-3, atol=0.05)
+
+def test_build_problem_point_alignment():
+    """build_problem certifies point_align: observations stay sorted by
+    point, no point's segment straddles a multiple of the alignment tile,
+    and alignment padding rows are zero-weight (BAProblem.point_align
+    contract for the fused Schur matvec kernel)."""
+    scene = make_orbit_scene(num_cameras=10, num_points=200, noise_px=0.3, seed=20)
+    rec = scene_to_reconstruction(scene, pose_noise=0.02, point_noise=0.05, seed=21)
+    prob, _, _ = build_problem(rec)
+    assert prob.point_align > 0
+    op = np.asarray(prob.obs_point)
+    w = np.asarray(prob.obs_w)
+    assert (np.diff(op) >= 0).all()
+    # Real observation count is preserved.
+    assert int((w > 0).sum()) == len(rec.obs_point)
+    # No real point's segment straddles an alignment boundary.
+    T = prob.point_align
+    for p in np.unique(op[w > 0]):
+        rows = np.where((op == p) & (w > 0))[0]
+        assert rows[0] // T == rows[-1] // T, f"point {p} straddles a tile"
+
+
+def test_schur_coupling_matvec_kernel_matches_xla():
+    """kernels/schur_spmv.schur_coupling_matvec (tile-local point one-hot +
+    MXU camera reductions) must reproduce the XLA implicit coupling term
+    W Hpp^-1 W^T v. Runs in interpret mode off-TPU."""
+    import jax as _jax
+    from sfm_tpu.ba import core
+    from sfm_tpu.kernels.schur_spmv import matvec_tile, schur_coupling_matvec
+
+    scene = make_orbit_scene(num_cameras=12, num_points=300, noise_px=0.5, seed=22)
+    rec = scene_to_reconstruction(scene, pose_noise=0.02, point_noise=0.05, seed=23)
+    prob, _, _ = build_problem(rec)
+    assert prob.point_align > 0
+    cfg = BAConfig(robust_loss="huber")
+    ne = core.build_normal_equations(prob, prob.cam_params, prob.points,
+                                     jnp.asarray(1e-3), cfg)
+
+    C = prob.num_cameras
+    O = prob.obs_w.shape[0]
+    tile = matvec_tile(C, prob.point_align)
+    assert tile > 0 and O % tile == 0
+
+    w_t = ne.W.reshape(O, 18).T
+    hinv_t = ne.Hpp_inv.reshape(prob.num_points, 9)[prob.obs_point].T
+    op = prob.obs_point.reshape(O // tile, tile)
+    lids = (op - op[:, :1]).reshape(O)
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(C, 6)).astype(np.float32))
+    interp = _jax.default_backend() != "tpu"
+    got = schur_coupling_matvec(prob.obs_cam, lids, w_t, hinv_t, v, tile=tile,
+                                interpret=interp)
+    ref = jnp.einsum("cij,cj->ci", ne.Hcc, v) - core._schur_matvec(ne._replace(mv_tile=0), prob, v)
+    scale = max(float(jnp.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(got) / scale, np.asarray(ref) / scale,
+                               atol=3e-5)
