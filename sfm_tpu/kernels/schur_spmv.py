@@ -393,10 +393,12 @@ def matvec_tile(num_cameras: int, point_align: int) -> int:
     """
     if point_align <= 0 or num_cameras > _MAX_CAMS:
         return 0
-    T = 1024 if num_cameras <= 512 else 512
-    T = max(T, point_align)
-    vmem = 4 * (num_cameras * T + T * T) + (1 << 20)
-    if vmem > 12 * (1 << 20):
+    T = max(512, point_align)
+    # Conservative Mosaic footprint: the [T,T] point indicator (iota + f32
+    # mask, held across two dots) dominates; T=1024 measured 19.3MB at C=128
+    # (hard 16MB scoped-vmem limit), T=512 fits through C=1024.
+    vmem = 16 * T * T + 12 * num_cameras * T + (1 << 20)
+    if vmem > 14 * (1 << 20):
         return 0
     return T
 

@@ -201,11 +201,14 @@ def bow_vectors(tree: VocabTree, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
     return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-8)
 
 
-def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0) -> np.ndarray:
+def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0,
+                     verbose: bool = False) -> np.ndarray:
     """Candidate pair list via vocab-tree retrieval (replaces exhaustive).
 
     feats: pipeline FeatureSet (host numpy). Returns [E, 2] image pairs.
     """
+    import time
+
     key = jax.random.PRNGKey(seed)
     desc = jnp.asarray(feats.desc)
     valid = jnp.asarray(feats.valid)
@@ -218,9 +221,15 @@ def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0) -> np.ndarray:
     train = desc[:, :per].reshape(B * per, D)
     train_w = np.asarray(valid[:, :per].reshape(-1)).astype(np.float32)
 
+    t0 = time.perf_counter()
     tree = build_vocab_tree(key, train, cfg, train_w=train_w)
+    t1 = time.perf_counter()
     bow = bow_vectors(tree, desc, valid)                 # [B, W]
     sim = np.array(bow @ bow.T)                          # [B, B] MXU (copy: mutated below)
+    t2 = time.perf_counter()
+    if verbose:
+        print(f"[sfm_tpu]   vocab: build {t1 - t0:.2f}s, "
+              f"quantize+score {t2 - t1:.2f}s (B={B}, {tree.num_words} words)")
     np.fill_diagonal(sim, -1.0)
 
     # Top-k neighbors per image, vectorized (the per-image argsort loop was

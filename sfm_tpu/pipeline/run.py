@@ -78,7 +78,7 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
         elif cfg.pair_mode == "vocab_tree":
             from sfm_tpu.ops.vocab import vocab_tree_pairs
 
-            pairs = vocab_tree_pairs(feats, cfg.vocab, seed=cfg.seed)
+            pairs = vocab_tree_pairs(feats, cfg.vocab, seed=cfg.seed, verbose=cfg.verbose)
         else:
             raise ValueError(f"unknown pair_mode: {cfg.pair_mode}")
 
