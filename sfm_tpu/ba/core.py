@@ -244,39 +244,55 @@ def _use_fused_ne(prob: BAProblem, cam_params, axis_name) -> bool:
     )
 
 
-def _ne_blocks_fused(prob: BAProblem, cam_params, points, cfg: BAConfig):
-    """(Hcc, Hpp, W, bc, bp) via the fused Pallas kernel: residual+Jacobian
-    blocks formed per observation tile in VMEM, camera side reduced on the
-    MXU (one-hot matmul), point side emitted as compact [O,16] payloads for
-    one sorted segment_sum — the [O,6,6]/[O,3,3] outer-product
-    materializations of the XLA path never touch HBM."""
+def _ne_static_misc(prob: BAProblem) -> jnp.ndarray:
+    """LM-iteration-invariant rows of the fused NE kernel input (uv, weight,
+    freeze masks), feature-major [8, O]. Built ONCE per solve and captured by
+    the while_loop body — the per-iteration kernel prep is then just the
+    point gather."""
+    O = prob.obs_w.shape[0]
+    return jnp.concatenate(
+        [
+            prob.obs_uv.T,
+            prob.obs_w[None, :],
+            (~prob.cam_fixed)[prob.obs_cam][None, :].astype(jnp.float32),
+            (~prob.point_fixed)[prob.obs_point][None, :].astype(jnp.float32),
+            jnp.zeros((3, O), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def _ne_blocks_fused(prob: BAProblem, cam_params, points, cfg: BAConfig,
+                     static_t: jnp.ndarray | None = None):
+    """(Hcc, Hpp, W_t [18,O], bc, bp) via the fused Pallas kernel:
+    residual+Jacobian blocks formed per observation tile in VMEM, camera side
+    reduced on the MXU (one-hot matmul), point side emitted as compact
+    feature-major payloads for one sorted segment_sum — the
+    [O,6,6]/[O,3,3] outer-product materializations of the XLA path never
+    touch HBM, and W stays feature-major for the coupling-matvec and
+    preconditioner kernels."""
     from sfm_tpu.kernels.schur_spmv import fused_ne_payloads
 
     C = prob.num_cameras
     P = prob.num_points
     O = prob.obs_w.shape[0]
-    misc = jnp.concatenate(
-        [
-            points[prob.obs_point],
-            prob.obs_uv,
-            prob.obs_w[:, None],
-            (~prob.cam_fixed[prob.obs_cam])[:, None].astype(jnp.float32),
-            (~prob.point_fixed[prob.obs_point])[:, None].astype(jnp.float32),
-            jnp.zeros((O, 8), jnp.float32),
-        ],
-        axis=1,
+    if static_t is None:
+        static_t = _ne_static_misc(prob)
+    pts_t = jnp.concatenate(
+        [jnp.take(points.T, prob.obs_point, axis=1), jnp.zeros((1, O), jnp.float32)],
+        axis=0,
     )
     pad = jnp.zeros((C, 2), jnp.float32)
-    Wf, Yp, camred = fused_ne_payloads(
-        prob.obs_cam, misc,
+    Wf_t, Yp_t, camred = fused_ne_payloads(
+        prob.obs_cam, pts_t, static_t,
         jnp.concatenate([cam_params, pad], axis=1),
         jnp.concatenate([prob.intrinsics, pad], axis=1),
         C, cfg.robust_loss, cfg.robust_scale_px,
     )
     Hcc = camred[:, :36].reshape(C, 6, 6)
     bc = camred[:, 36:42]
-    W = Wf[:, :18].reshape(O, 6, 3)
-    red = jax.ops.segment_sum(Yp[:, :9], prob.obs_point, P)     # sorted by point
+    W_t = Wf_t[:18]
+    red = jax.ops.segment_sum(Yp_t[:9].T, prob.obs_point, P)    # sorted by point
     s6 = [red[:, k] for k in range(6)]
     Hpp = jnp.stack(
         [jnp.stack([s6[0], s6[1], s6[2]], -1),
@@ -284,14 +300,50 @@ def _ne_blocks_fused(prob: BAProblem, cam_params, points, cfg: BAConfig):
          jnp.stack([s6[2], s6[4], s6[5]], -1)], -2
     )
     bp = red[:, 6:9]
-    return Hcc, Hpp, W, bc, bp
+    return Hcc, Hpp, W_t, bc, bp
 
 
-def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig, axis_name=None) -> _NormalEq:
+class _SolveInvariants(NamedTuple):
+    """LM-iteration-invariant precomputations, hoisted out of the while_loop
+    (captured as constants by the body): fused-NE static rows, sorted-segment
+    offsets, and the coupling-matvec kernel's tile-local point ids."""
+
+    static_t: jnp.ndarray | None    # [8, O] fused-NE static misc rows
+    bounds: jnp.ndarray | None      # [P+1] point segment offsets
+    lids: jnp.ndarray | None        # [O] tile-local point ids
+    mv_tile: int                    # coupling-matvec tile (0 = kernel off)
+
+
+def _solve_invariants(prob: BAProblem, cam_params, cfg: BAConfig, axis_name) -> _SolveInvariants:
+    O = prob.obs_w.shape[0]
+    static_t = None
+    if _use_fused_ne(prob, cam_params, axis_name):
+        static_t = _ne_static_misc(prob)
+    bounds = None
+    if axis_name is None:
+        # Sorted-by-point contract (build_problem) -> segment offsets for the
+        # scatter-free point reductions inside CG and back-substitution.
+        bounds = jnp.searchsorted(prob.obs_point, jnp.arange(prob.num_points + 1, dtype=prob.obs_point.dtype))
+    mv_tile = _matvec_kernel_tile(prob, cam_params, axis_name)
+    lids = None
+    if mv_tile:
+        op = prob.obs_point.reshape(O // mv_tile, mv_tile)
+        lids = (op - op[:, :1]).reshape(O)
+    return _SolveInvariants(static_t=static_t, bounds=bounds, lids=lids, mv_tile=mv_tile)
+
+
+def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig,
+                           axis_name=None, inv: _SolveInvariants | None = None) -> _NormalEq:
     C = prob.num_cameras
     P = prob.num_points
+    if inv is None:
+        inv = _solve_invariants(prob, cam_params, cfg, axis_name)
+    W_t = None
     if _use_fused_ne(prob, cam_params, axis_name):
-        Hcc, Hpp, W, bc, bp = _ne_blocks_fused(prob, cam_params, points, cfg)
+        Hcc, Hpp, W_t, bc, bp = _ne_blocks_fused(prob, cam_params, points, cfg,
+                                                 static_t=inv.static_t)
+        O = W_t.shape[1]
+        W = W_t.T.reshape(O, 6, 3)
     else:
         r, Jc, Jp, _ = residuals_and_jacobians(prob, cam_params, points, cfg)
 
@@ -321,16 +373,25 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     Hpp_d = Hpp + (lam * dp[:, :, None] + 1e-6) * eyep[None]
     Hpp_inv = _sym_solve3(Hpp_d)
 
-    # Schur-Jacobi preconditioner: exact block diagonal of S.
+    # Shared feature-major views for the preconditioner + coupling-matvec
+    # kernels (one transpose/gather per LM iteration, not per use).
     from sfm_tpu.kernels import schur_spmv
 
-    if (axis_name is None and jax.default_backend() == "tpu"
-            and C <= schur_spmv._MAX_CAMS and cam_params.shape[-1] == CAM_DIM
-            and W.shape[0] % min(schur_spmv._TILE_OBS, W.shape[0]) == 0):
-        O = W.shape[0]
-        whw_sum = schur_spmv.whw_cam_reduce(
-            W.reshape(O, 18), Hpp_inv[prob.obs_point].reshape(O, 9), prob.obs_cam, C
-        ).reshape(C, 6, 6)
+    O = W.shape[0]
+    whw_kernel = (
+        axis_name is None and jax.default_backend() == "tpu"
+        and C <= schur_spmv._MAX_CAMS and cam_params.shape[-1] == CAM_DIM
+        and O % min(schur_spmv._TILE_OBS, O) == 0
+    )
+    hinv_t = None
+    if whw_kernel or inv.mv_tile:
+        hinv_t = Hpp_inv.reshape(P, 9)[prob.obs_point].T
+    if (whw_kernel or inv.mv_tile) and W_t is None:
+        W_t = W.reshape(O, 18).T
+
+    # Schur-Jacobi preconditioner: exact block diagonal of S.
+    if whw_kernel:
+        whw_sum = schur_spmv.whw_cam_reduce(W_t, hinv_t, prob.obs_cam, C).reshape(C, 6, 6)
     else:
         WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
         whw_sum = _cam_reduce(WHW, prob.obs_cam, C, axis_name)
@@ -338,27 +399,11 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     M = M + 1e-6 * eyec[None]
     M_inv = jnp.linalg.inv(M)
 
-    bounds = None
-    if axis_name is None:
-        # Sorted-by-point contract (build_problem) -> segment offsets for the
-        # scatter-free point reductions inside CG and back-substitution.
-        bounds = jnp.searchsorted(prob.obs_point, jnp.arange(P + 1, dtype=prob.obs_point.dtype))
-
-    # Fused-matvec views: feature-major W, per-observation Hpp_inv, and
-    # tile-local point ids for the [T,T] point one-hot (valid under the
-    # problem's point_align certificate).
-    w_t = hinv_t = lids = None
-    mv_tile = _matvec_kernel_tile(prob, cam_params, axis_name)
-    if mv_tile:
-        O = W.shape[0]
-        w_t = W.reshape(O, 18).T
-        hinv_t = Hpp_inv.reshape(P, 9)[prob.obs_point].T
-        op = prob.obs_point.reshape(O // mv_tile, mv_tile)
-        lids = (op - op[:, :1]).reshape(O)
-
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv,
-                     point_bounds=bounds, w_t=w_t, hinv_t=hinv_t, lids=lids,
-                     mv_tile=mv_tile)
+                     point_bounds=inv.bounds,
+                     w_t=W_t if inv.mv_tile else None,
+                     hinv_t=hinv_t if inv.mv_tile else None,
+                     lids=inv.lids, mv_tile=inv.mv_tile)
 
 
 def _matvec_kernel_tile(prob: BAProblem, cam_params, axis_name) -> int:
@@ -515,9 +560,11 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
         and prob.num_cameras * n_obs <= (4 << 20)
     )
 
+    inv = _solve_invariants(prob, prob.cam_params, cfg, axis_name)
+
     def body(state):
         cam_params, points, lam, it, _, cost = state
-        ne = build_normal_equations(prob, cam_params, points, lam, cfg, axis_name)
+        ne = build_normal_equations(prob, cam_params, points, lam, cfg, axis_name, inv=inv)
         rhs = _schur_rhs(ne, prob, axis_name)
         if use_dense:
             dc = _dense_schur_solve(ne, prob, rhs, cfg)

@@ -31,7 +31,8 @@ _TILE_OBS = 1024      # observation rows per grid step
 _MAX_CAMS = 2048      # VMEM budget: onehot tile [T, C] fp32 = 8MB at the cap
 
 # Fused normal-equation kernel layout (see fused_ne_payloads):
-_MISC_COLS = 16       # point(3) uv(2) w(1) cam_free(1) pt_free(1) pad(8)
+_PTS_ROWS = 4         # point xyz + pad (per LM iteration)
+_STATIC_ROWS = 8      # uv(2) w(1) cam_free(1) pt_free(1) pad(3) (per solve)
 _CAMRED_COLS = 48     # vec(JcTJc)(36) -Jc^T r(6) pad(6)
 _W_COLS = 24          # vec(W = Jc^T Jp)(18) pad(6)
 _YP_COLS = 16         # sym(JpTJp)(6) -Jp^T r(3) pad(7)
@@ -47,8 +48,8 @@ def _rot_cols(wx, wy, wz, a, b):
     )
 
 
-def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, misc_ref, camt_ref, intrt_ref,
-                     w_out_ref, yp_out_ref, camred_ref, acc_ref):
+def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
+                     camt_ref, intrt_ref, w_out_ref, yp_out_ref, camred_ref, acc_ref):
     """One observation tile: closed-form residual + Jacobian blocks entirely
     in VMEM, camera-side normal-equation payloads reduced on the MXU via the
     one-hot trick, point-side payloads emitted compactly ([O,16] instead of
@@ -88,10 +89,11 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, misc_ref, camt_ref, int
     wx, wy, wz = col(cams, 0), col(cams, 1), col(cams, 2)
     tx, ty, tz = col(cams, 3), col(cams, 4), col(cams, 5)
     fx, fy, cx, cy, k1, k2 = (col(intr, i) for i in range(6))
-    misc = misc_ref[:]                                         # [16, T]
-    px, py, pz = col(misc, 0), col(misc, 1), col(misc, 2)
-    u_obs, v_obs = col(misc, 3), col(misc, 4)
-    w_obs, cam_free, pt_free = col(misc, 5), col(misc, 6), col(misc, 7)
+    pts = pts_ref[:]                                           # [4, T]
+    px, py, pz = col(pts, 0), col(pts, 1), col(pts, 2)
+    st = static_ref[:]                                         # [8, T]
+    u_obs, v_obs = col(st, 0), col(st, 1)
+    w_obs, cam_free, pt_free = col(st, 2), col(st, 3), col(st, 4)
 
     # Rodrigues + right Jacobian coefficients with Taylor guards at theta=0.
     t2 = wx * wx + wy * wy + wz * wz
@@ -199,7 +201,8 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, misc_ref, camt_ref, int
 @partial(jax.jit, static_argnames=("num_cameras", "robust_loss", "robust_scale", "interpret"))
 def fused_ne_payloads(
     obs_cam: jnp.ndarray,        # [O] int32
-    misc: jnp.ndarray,           # [O, 16] point(3) uv(2) w(1) cam_free(1) pt_free(1)
+    pts_t: jnp.ndarray,          # [4, O] feature-major point xyz (per iteration)
+    static_t: jnp.ndarray,       # [8, O] feature-major uv/w/cam_free/pt_free (per solve)
     cam_tab: jnp.ndarray,        # [C, 8] rvec(3) tvec(3) pad
     intr_tab: jnp.ndarray,       # [C, 8]
     num_cameras: int,
@@ -207,10 +210,11 @@ def fused_ne_payloads(
     robust_scale: float,
     interpret: bool = False,
 ):
-    """Returns (W [O,24], Yp [O,16], cam_red [C,48]) — see _fused_ne_kernel.
+    """Returns (W_t [24,O], Yp_t [16,O], cam_red [C,48]) — see _fused_ne_kernel.
 
-    The kernel runs feature-major ([rows, obs] layout); this wrapper owns the
-    transposes on both sides so callers see observation-major arrays.
+    Everything stays feature-major ([rows, obs]); callers build static_t once
+    per solve (it is LM-iteration-invariant) and only refresh pts_t per
+    iteration. W_t's first 18 rows feed schur_coupling_matvec directly.
     """
     O = obs_cam.shape[0]
     C = num_cameras
@@ -227,7 +231,8 @@ def fused_ne_payloads(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_MISC_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PTS_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATIC_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -245,11 +250,12 @@ def fused_ne_payloads(
         interpret=interpret,
     )(
         obs_cam.astype(jnp.int32)[None, :],
-        misc.T,
+        pts_t,
+        static_t,
         cam_tab.T,
         intr_tab.T,
     )
-    return w_t.T, yp_t.T, camred_t.T
+    return w_t, yp_t, camred_t.T
 
 
 def _whw_kernel(ids_ref, w_ref, hinv_ref, out_ref, acc_ref):
@@ -292,15 +298,18 @@ def _whw_kernel(ids_ref, w_ref, hinv_ref, out_ref, acc_ref):
 
 
 @partial(jax.jit, static_argnames=("num_cameras", "interpret"))
-def whw_cam_reduce(W_flat: jnp.ndarray, hinv_o: jnp.ndarray, obs_cam: jnp.ndarray,
+def whw_cam_reduce(W_t: jnp.ndarray, hinv_t: jnp.ndarray, obs_cam: jnp.ndarray,
                    num_cameras: int, interpret: bool = False) -> jnp.ndarray:
-    """sum_o onehot(cam_o) * vec(W_o Hinv_o W_o^T): [O,18],[O,9] -> [C,36]."""
-    O = W_flat.shape[0]
+    """sum_o onehot(cam_o) * vec(W_o Hinv_o W_o^T): [18,O],[9,O] -> [C,36].
+
+    Inputs are feature-major (shared with schur_coupling_matvec, so the BA
+    core builds them once per LM iteration)."""
+    O = W_t.shape[1]
     C = num_cameras
     if C > _MAX_CAMS or (jax.default_backend() == "cpu" and not interpret):
         WHW = jnp.einsum(
-            "oij,ojk,olk->oil", W_flat.reshape(O, 6, 3),
-            hinv_o.reshape(O, 3, 3), W_flat.reshape(O, 6, 3),
+            "oij,ojk,olk->oil", W_t.T.reshape(O, 6, 3),
+            hinv_t.T.reshape(O, 3, 3), W_t.T.reshape(O, 6, 3),
         ).reshape(O, 36)
         return jax.ops.segment_sum(WHW, obs_cam, C)
     T = min(_TILE_OBS if C <= 1024 else 512, O)
@@ -317,7 +326,7 @@ def whw_cam_reduce(W_flat: jnp.ndarray, hinv_o: jnp.ndarray, obs_cam: jnp.ndarra
         out_shape=jax.ShapeDtypeStruct((36, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((36, C), jnp.float32)],
         interpret=interpret,
-    )(obs_cam.astype(jnp.int32)[None, :], W_flat.T, hinv_o.T)
+    )(obs_cam.astype(jnp.int32)[None, :], W_t, hinv_t)
     return out_t.T
 
 

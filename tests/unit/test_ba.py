@@ -133,9 +133,11 @@ def test_fused_pallas_ne_matches_xla_path():
     if interp:
         schur_spmv.fused_ne_payloads = lambda *a, **k: orig(*a, interpret=True, **k)
     try:
-        Hcc_f, Hpp_f, W_f, bc_f, bp_f = _ne_blocks_fused(prob, prob.cam_params, prob.points, cfg)
+        Hcc_f, Hpp_f, Wt_f, bc_f, bp_f = _ne_blocks_fused(prob, prob.cam_params, prob.points, cfg)
     finally:
         schur_spmv.fused_ne_payloads = orig
+    O = Wt_f.shape[1]
+    W_f = Wt_f.T.reshape(O, 6, 3)
 
     r, Jc, Jp, _ = residuals_and_jacobians(prob, prob.cam_params, prob.points, cfg)
     Jc = jnp.where(prob.cam_fixed[prob.obs_cam][:, None, None], 0.0, Jc)
@@ -189,7 +191,7 @@ def test_whw_cam_reduce_matches_xla():
     A = rng.normal(size=(O, 3, 3)).astype(np.float32)
     hinv = jnp.asarray((A @ A.transpose(0, 2, 1)).reshape(O, 9))  # SPD-ish blocks
     ids = jnp.asarray(rng.integers(0, C, O).astype(np.int32))
-    out = whw_cam_reduce(W, hinv, ids, C, interpret=_jax.default_backend() != "tpu")
+    out = whw_cam_reduce(W.T, hinv.T, ids, C, interpret=_jax.default_backend() != "tpu")
     ref = jax.ops.segment_sum(
         jnp.einsum("oij,ojk,olk->oil", W.reshape(O, 6, 3), hinv.reshape(O, 3, 3),
                    W.reshape(O, 6, 3)).reshape(O, 36),
