@@ -110,6 +110,7 @@ class EngineConfig:
 
     init_min_inliers: int = 60
     init_max_h_ratio: float = 0.85      # initial pair must not be homography-degenerate
+    init_candidates: int = 16           # ranked bootstrap edges tried before giving up
     abs_pose_min_inliers: int = 12
     abs_pose_error_px: float = 8.0
     min_triangulation_angle_deg: float = 1.5

@@ -37,7 +37,9 @@ class TwoViewGeometry(NamedTuple):
     inliers: jnp.ndarray     # [P, M] bool (over the match slots)
     num_inliers: jnp.ndarray # [P]
     num_h_inliers: jnp.ndarray  # [P] homography support (degeneracy stat)
-    ok: jnp.ndarray          # [P] enough inliers and not degenerate
+    ok: jnp.ndarray          # [P] enough geometrically-consistent matches
+    pose_ok: jnp.ndarray     # [P] relative pose is trustworthy (False for
+                             #     rotation-only edges kept for track building)
     E: jnp.ndarray           # [P, 3, 3] essential matrices
 
 
@@ -157,19 +159,35 @@ def verify_pair(
     R_h, t_h, _n_plane, h_votes, h_valid = solvers.decompose_homography(
         Hn, x1, x2, mask
     )
-    ok_h = (n_h >= cfg.min_inliers) & h_valid & (h_votes >= jnp.maximum(n_h // 2, 1))
+    ok_h_pose = h_valid & (h_votes >= jnp.maximum(n_h // 2, 1))
+    ok_h = (n_h >= cfg.min_inliers) & ok_h_pose
+
+    # Rotation-only / zero-parallax pairs: H support is overwhelming but no
+    # relative pose is recoverable (the plane-decomposition gate fails). The
+    # CORRESPONDENCES are still real, and on dense video-like capture these
+    # edges are what chains consecutive frames into tracks — dropping them
+    # fragments the match graph and strands registration (the 2k-image
+    # ladder failure). Keep the edge for track building / PnP with the
+    # rotation taken from the homography's polar factor (H ~ K R K^-1 for a
+    # pure rotation) and pose_ok=False so bootstrap ranking and guided
+    # matching skip it.
+    rot_only = planar & (n_h >= cfg.min_inliers) & ~ok_h_pose
+    U_r, _, Vt_r = jnp.linalg.svd(Hn)
+    det_r = jnp.linalg.det(U_r @ Vt_r)
+    R_rot = U_r @ jnp.diag(jnp.stack([jnp.ones_like(det_r), jnp.ones_like(det_r), det_r])) @ Vt_r
 
     use_h = planar & ok_h
-    R = jnp.where(use_h, R_h, R)
+    R = jnp.where(use_h, R_h, jnp.where(rot_only, R_rot, R))
     t = jnp.where(use_h, t_h, t)
-    inl = jnp.where(use_h, inl_h, inl)
-    n_out = jnp.where(use_h, n_h, n_e)
-    ok = jnp.where(planar, ok_h, ok_e)
+    inl = jnp.where(use_h | rot_only, inl_h, inl)
+    n_out = jnp.where(use_h | rot_only, n_h, n_e)
+    ok = jnp.where(planar, ok_h | rot_only, ok_e)
+    pose_ok = ok & ~rot_only
     rvec = matrix_to_aa(R)
     # Downstream guided matching consumes E; keep it consistent with the
     # pose actually reported.
     E = jnp.where(use_h, solvers.essential_from_rt(jnp.concatenate([rvec, t])), E)
-    return rvec, t, inl, n_out, n_h, ok, E
+    return rvec, t, inl, n_out, n_h, ok, pose_ok, E
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -179,9 +197,10 @@ def verify_block(
     intr1: jnp.ndarray, intr2: jnp.ndarray,                  # [P, 6]
     cfg: RansacConfig,
 ) -> TwoViewGeometry:
-    rvec, t, inl, n_e, n_h, ok, E = jax.vmap(
+    rvec, t, inl, n_e, n_h, ok, pose_ok, E = jax.vmap(
         lambda k, a, b, m, i1, i2: verify_pair(k, a, b, m, i1, i2, cfg)
     )(keys, uv1, uv2, mask, intr1, intr2)
     return TwoViewGeometry(
-        rvec=rvec, tvec=t, inliers=inl, num_inliers=n_e, num_h_inliers=n_h, ok=ok, E=E
+        rvec=rvec, tvec=t, inliers=inl, num_inliers=n_e, num_h_inliers=n_h,
+        ok=ok, pose_ok=pose_ok, E=E
     )

@@ -145,20 +145,111 @@ class EngineState:
         return self.feats.xy[self.tracks.obs_image[rows], self.tracks.obs_kp[rows]].astype(np.float32)
 
 
-def select_init_pair(graph: MatchGraph, cfg: PipelineConfig) -> int | None:
-    """Best bootstrap edge: many inliers, not homography-degenerate
-    (SURVEY.md §2.5 init-pair selection)."""
-    ok = graph.ok.copy()
+def _np_rotmat(rvec: np.ndarray) -> np.ndarray:
+    """Host Rodrigues for edge ranking: angle-axis [..., 3] -> [..., 3, 3]."""
+    theta = np.linalg.norm(rvec, axis=-1)
+    k = rvec / np.maximum(theta, 1e-12)[..., None]
+    K = np.zeros(rvec.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    st, ct = np.sin(theta)[..., None, None], np.cos(theta)[..., None, None]
+    R = np.eye(3) + st * K + (1.0 - ct) * (K @ K)
+    R[theta < 1e-10] = np.eye(3)
+    return R
+
+
+def _edge_parallax_deg(
+    graph: MatchGraph, edges: np.ndarray, feats: FeatureSet, intrinsics: np.ndarray
+) -> np.ndarray:
+    """Median rotation-compensated ray angle per edge (degrees).
+
+    A near-zero-baseline pair looks like a pure rotation: after mapping image
+    j's bearing rays back through R_ij, they coincide with image i's rays and
+    the residual angle -> 0. This is exactly the triangulation angle the
+    bootstrap will get, so it ranks init pairs by achievable parallax without
+    running triangulation (COLMAP's init criterion, computed batched on host;
+    pinhole-only — distortion is second-order for ranking)."""
+    i, j = graph.pairs[edges, 0], graph.pairs[edges, 1]
+    uv_i = feats.xy[i[:, None], graph.idx_i[edges]].astype(np.float64)  # [E, M, 2]
+    uv_j = feats.xy[j[:, None], graph.idx_j[edges]].astype(np.float64)
+
+    def rays(uv, intr):
+        f = intr[:, None, 0:2]
+        c = intr[:, None, 2:4]
+        xy = (uv - c) / np.maximum(f, 1e-6)
+        r = np.concatenate([xy, np.ones_like(xy[..., :1])], axis=-1)
+        return r / np.linalg.norm(r, axis=-1, keepdims=True)
+
+    r_i = rays(uv_i, intrinsics[i])
+    r_j = rays(uv_j, intrinsics[j])
+    R = _np_rotmat(graph.rvec[edges].astype(np.float64))       # cam_i -> cam_j
+    r_j_in_i = np.einsum("ekj,emk->emj", R, r_j)               # R^T @ r_j
+    cosang = np.clip(np.sum(r_i * r_j_in_i, axis=-1), -1.0, 1.0)
+    ang = np.degrees(np.arccos(cosang))
+    ang = np.where(graph.inlier[edges], ang, np.nan)
+    with np.errstate(all="ignore"):
+        med = np.nanmedian(ang, axis=-1)
+    return np.where(np.isfinite(med), med, 0.0)
+
+
+def rank_init_pairs(
+    graph: MatchGraph, feats: FeatureSet, intrinsics: np.ndarray, cfg: PipelineConfig
+) -> np.ndarray:
+    """Ranked bootstrap candidates: many inliers, not homography-degenerate,
+    and with real parallax (SURVEY.md §2.5 init-pair selection).
+
+    Returns edge ids best-first. Edges failing the parallax gate rank after
+    every edge that passes it — on dense video-like capture the highest-inlier
+    pairs are near-identical views whose E (and hence bootstrap triangulation)
+    is degenerate, so inlier count alone picks the worst possible pair."""
+    pose_ok = graph.pose_ok if graph.pose_ok is not None else graph.ok
+    ok = graph.ok & pose_ok
     h_ratio = graph.num_h_inliers / np.maximum(graph.num_inliers, 1)
     ok &= graph.num_inliers >= cfg.engine.init_min_inliers
     ok &= h_ratio <= cfg.engine.init_max_h_ratio
     if not ok.any():
         # Fallback: relax the inlier bar but keep the degeneracy gate.
-        ok = graph.ok & (h_ratio <= cfg.engine.init_max_h_ratio)
+        ok = graph.ok & pose_ok & (h_ratio <= cfg.engine.init_max_h_ratio)
         if not ok.any():
             # Fully planar scene: every edge is H-dominated, but verify kept
-            # only edges whose pose survived the homography decomposition —
-            # bootstrap from the best-supported one.
+            # a usable pose (homography decomposition) wherever one exists —
+            # bootstrap from the best-supported of those. Edges that are
+            # correspondence-only (pose_ok=False) cannot seed a map.
+            ok = graph.ok & pose_ok
+            if not ok.any():
+                return np.zeros(0, np.int64)
+    score = np.where(ok, graph.num_inliers * (1.0 - 0.5 * h_ratio), -1.0)
+    top = np.where(score > 0)[0]
+    if len(top) == 0:
+        return np.zeros(0, np.int64)
+    # Parallax over ALL surviving edges, chunked (dense-capture graphs can
+    # have thousands of high-inlier near-degenerate edges, so a fixed-size
+    # score-ranked pool can miss every usable pair).
+    parallax = np.concatenate([
+        _edge_parallax_deg(graph, top[s: s + _PARALLAX_CHUNK], feats, intrinsics)
+        for s in range(0, len(top), _PARALLAX_CHUNK)
+    ])
+    gate = parallax >= max(cfg.engine.min_triangulation_angle_deg, 1e-3)
+    # Pass-group by score; fail-group by parallax (most parallax first) so the
+    # retry loop still makes progress on scenes where nothing passes the gate.
+    order = np.lexsort((-np.where(gate, score[top], parallax), ~gate))
+    return top[order]
+
+
+_PARALLAX_CHUNK = 4096
+
+
+def select_init_pair(graph: MatchGraph, cfg: PipelineConfig) -> int | None:
+    """Legacy single-edge selection (no parallax gate): kept for callers
+    without features/intrinsics at hand."""
+    ok = graph.ok.copy()
+    h_ratio = graph.num_h_inliers / np.maximum(graph.num_inliers, 1)
+    ok &= graph.num_inliers >= cfg.engine.init_min_inliers
+    ok &= h_ratio <= cfg.engine.init_max_h_ratio
+    if not ok.any():
+        ok = graph.ok & (h_ratio <= cfg.engine.init_max_h_ratio)
+        if not ok.any():
             ok = graph.ok.copy()
             if not ok.any():
                 return None
@@ -393,11 +484,33 @@ def incremental_reconstruct(
         obs_alive=np.ones(len(tracks.obs_image), bool),
     )
 
-    edge = select_init_pair(graph, cfg)
-    if edge is None:
+    cands = rank_init_pairs(graph, feats, intrinsics, cfg)
+    if len(cands) == 0:
         raise RuntimeError("no valid initial pair")
-    _register_bootstrap(st, graph, edge, cfg)
-    _triangulate_new(st, cfg, cfg.verbose)
+    # Bootstrap retry (SURVEY.md §2.5): an edge can pass 2-view verification
+    # yet triangulate nothing (tiny baseline -> degenerate E / all points
+    # below the triangulation-angle gate). Try ranked candidates until one
+    # produces a usable seed map; roll the 2-camera state back in between.
+    min_seed_pts = max(8, cfg.engine.abs_pose_min_inliers)
+    edge = int(cands[0])
+    for k, cand in enumerate(cands[: cfg.engine.init_candidates]):
+        edge = int(cand)
+        _register_bootstrap(st, graph, edge, cfg)
+        _triangulate_new(st, cfg, cfg.verbose)
+        if st.num_points >= min_seed_pts or k == len(cands[: cfg.engine.init_candidates]) - 1:
+            break
+        if cfg.verbose:
+            print(f"[sfm_tpu] bootstrap edge {graph.pairs[edge]} rejected: "
+                  f"{st.num_points} points < {min_seed_pts}")
+        i, j = graph.pairs[edge]
+        st.registered[i] = st.registered[j] = False
+        st.rvecs[i] = st.rvecs[j] = 0.0
+        st.tvecs[i] = st.tvecs[j] = 0.0
+        st.track_point[:] = -1
+        st.point_valid[: st.num_points] = False
+        st.num_points = 0
+    if st.num_points == 0:
+        raise RuntimeError("bootstrap failed: no candidate pair triangulated any points")
     _run_ba(st, cfg)  # two-view BA
     if cfg.verbose:
         print(f"[sfm_tpu] bootstrap edge {graph.pairs[edge]}: {st.num_points} points")
@@ -485,6 +598,13 @@ def incremental_reconstruct(
                 retries_left -= 1
                 st.failed[:] = False
                 continue
+            if cfg.verbose and not st.registered.all():
+                top = order[:4]
+                print(
+                    f"[sfm_tpu] stall at {int(st.registered.sum())}/{B}: best "
+                    f"unregistered candidates {[(int(t), int(counts[t])) for t in top]} "
+                    f"(need >= {cfg.engine.abs_pose_min_inliers} visible points)"
+                )
             break
 
     # Final polish: global BA + filter + last retriangulation + BA.

@@ -93,7 +93,7 @@ def _mask_graph_to_cluster(graph: MatchGraph, cluster: np.ndarray) -> MatchGraph
     return MatchGraph(
         pairs=graph.pairs, idx_i=graph.idx_i, idx_j=graph.idx_j, inlier=graph.inlier,
         num_inliers=graph.num_inliers, num_h_inliers=graph.num_h_inliers,
-        rvec=graph.rvec, tvec=graph.tvec, ok=ok,
+        rvec=graph.rvec, tvec=graph.tvec, ok=ok, pose_ok=graph.pose_ok,
     )
 
 
@@ -125,7 +125,9 @@ def partitioned_reconstruct(
             if cfg.verbose:
                 print(f"[sfm_tpu] cluster {ci} failed: {e}")
             return None
-        return rec if rec.num_registered >= 2 else None
+        # A cluster is only usable if it actually built a map: a 2-camera /
+        # 0-point result can neither be aligned nor contribute structure.
+        return rec if rec.num_registered >= 2 and rec.num_points >= 8 else None
 
     # EP-analog dispatch (SURVEY.md §2.9): clusters are independent work
     # units. parallel_clusters > 1 overlaps their host-side bookkeeping with

@@ -103,7 +103,9 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
         rec = store.load_reconstruction()
     elif num_images == 2:
         with timer.stage("two_view"):
-            ok_edges = np.where(graph.ok)[0]
+            ok_edges = np.where(
+                graph.ok & (graph.pose_ok if graph.pose_ok is not None else True)
+            )[0]
             if len(ok_edges) == 0:
                 raise RuntimeError("two-view reconstruction failed: no verified pair")
             from sfm_tpu.pipeline.two_view import bootstrap_two_view

@@ -85,6 +85,8 @@ class MatchGraph:
     rvec: np.ndarray           # [E, 3] relative pose i->j
     tvec: np.ndarray           # [E, 3]
     ok: np.ndarray             # [E] bool
+    pose_ok: np.ndarray | None = None  # [E] bool; False = correspondence-only
+                                       # edge (rotation-degenerate), pose unusable
 
 
 def extract_stage(batch: ImageBatch, cfg: PipelineConfig) -> FeatureSet:
@@ -256,6 +258,7 @@ def match_and_verify_stage(
     out_rvec = np.zeros((E, 3), np.float32)
     out_tvec = np.zeros((E, 3), np.float32)
     out_ok = np.zeros(E, bool)
+    out_pose_ok = np.zeros(E, bool)
 
     # Keypoints are response-sorted with validity masks, so when no image
     # fills the static budget the tail is pure padding: bucket the keypoint
@@ -330,7 +333,9 @@ def match_and_verify_stage(
                 geom.E, intr_i, intr_j,
                 cfg.match,
             )
-            use = np.asarray(geom.ok)
+            # Rotation-degenerate edges (pose_ok=False) carry a meaningless
+            # E — guided rematch under it would manufacture wrong matches.
+            use = np.asarray(geom.ok & geom.pose_ok)
             pm_idx_i = np.where(use[:, None], np.asarray(pm_g.idx_i), np.asarray(pm.idx_i))
             pm_idx_j = np.where(use[:, None], np.asarray(pm_g.idx_j), np.asarray(pm.idx_j))
             inliers = np.where(use[:, None], np.asarray(pm_g.valid), np.asarray(geom.inliers))
@@ -350,6 +355,7 @@ def match_and_verify_stage(
         out_rvec[s:e] = np.asarray(geom.rvec)[:n]
         out_tvec[s:e] = np.asarray(geom.tvec)[:n]
         out_ok[s:e] = np.asarray(geom.ok)[:n]
+        out_pose_ok[s:e] = np.asarray(geom.pose_ok)[:n]
 
     # An edge needs both enough matches and geometric support.
     enough = out_ninl >= cfg.ransac.min_inliers
@@ -357,4 +363,5 @@ def match_and_verify_stage(
         pairs=pairs, idx_i=out_idx_i, idx_j=out_idx_j, inlier=out_inlier,
         num_inliers=out_ninl, num_h_inliers=out_nh,
         rvec=out_rvec, tvec=out_tvec, ok=out_ok & enough,
+        pose_ok=out_pose_ok & enough,
     )

@@ -58,10 +58,13 @@ class ArtifactStore:
         return FeatureSet(**self.load("features"))
 
     def save_graph(self, key: str, g: MatchGraph):
-        self.save("matches", key, dict(pairs=g.pairs, idx_i=g.idx_i, idx_j=g.idx_j,
-                                       inlier=g.inlier, num_inliers=g.num_inliers,
-                                       num_h_inliers=g.num_h_inliers, rvec=g.rvec,
-                                       tvec=g.tvec, ok=g.ok))
+        d = dict(pairs=g.pairs, idx_i=g.idx_i, idx_j=g.idx_j,
+                 inlier=g.inlier, num_inliers=g.num_inliers,
+                 num_h_inliers=g.num_h_inliers, rvec=g.rvec,
+                 tvec=g.tvec, ok=g.ok)
+        if g.pose_ok is not None:
+            d["pose_ok"] = g.pose_ok
+        self.save("matches", key, d)
 
     def load_graph(self) -> MatchGraph:
         return MatchGraph(**self.load("matches"))

@@ -110,9 +110,12 @@ def test_verify_planar_pair_uses_homography_pose():
     assert _t_err_deg(geom.tvec, t) < 3.0
 
 
-def test_verify_pure_rotation_pair_rejected():
-    """Rotation-only motion: H explains everything, no parallax exists —
-    the degeneracy gate must drop the edge (nothing can be triangulated)."""
+def test_verify_pure_rotation_pair_kept_without_pose():
+    """Rotation-only motion: H explains everything, no parallax exists. The
+    edge must stay in the graph (its correspondences chain dense captures
+    into tracks) but be flagged pose_ok=False so bootstrap/guided matching
+    skip it, and the reported rotation (homography polar factor) must still
+    be accurate — init-pair ranking uses it to measure parallax."""
     rng = np.random.default_rng(7)
     X = np.concatenate([rng.uniform(-2, 2, (120, 2)), rng.uniform(3, 9, (120, 1))], 1).astype(np.float32)
     R, _ = _pose(rng)
@@ -122,7 +125,11 @@ def test_verify_pure_rotation_pair_rejected():
     uv2 = _pixels(x2) + rng.normal(0, 0.2, x2.shape).astype(np.float32)
     cfg = RansacConfig(num_hypotheses=512, min_inliers=15, error_threshold_px=2.0)
     geom = _run_verify(uv1, uv2, cfg)
-    assert not bool(geom.ok)
+    assert bool(geom.ok), "correspondence-only edge must be kept for tracks"
+    assert not bool(geom.pose_ok), "rotation-only pose must be flagged unusable"
+    assert geom.num_inliers >= 60
+    R_est = np.asarray(so3_exp(jnp.asarray(geom.rvec)))
+    assert _rot_err_deg(R_est, R) < 1.0
 
 
 def test_verify_fundamental_path_recovers_pose():
