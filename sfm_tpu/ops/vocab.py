@@ -64,6 +64,35 @@ def _kmeans(key, data: jnp.ndarray, w: jnp.ndarray, k: int, iters: int) -> jnp.n
     return centers
 
 
+@functools.partial(jax.jit, static_argnames=("branching",))
+def _descend_chunk(centers: tuple, desc: jnp.ndarray, branching: int) -> jnp.ndarray:
+    """Tree descent for one chunk. One MXU matmul per level.
+
+    Similarities against ALL centers of the level come from one dense
+    matmul, then each descriptor selects its node's child window with a
+    [N, b] take_along_axis on the similarity matrix. (Gathering the
+    candidate CENTER ROWS instead — [N, b, D] — moved ~0.4GB per level
+    at 100k descriptors and dominated retrieval.) Beyond the matmul
+    budget the row-gather fallback handles very deep trees.
+
+    Centers are jit ARGUMENTS, not closure captures: capturing them bakes
+    them into the executable as constants, so every build/retrieval with a
+    new tree recompiled (~20-40s each on a remote-compile device). As
+    arguments, one cached executable serves every tree of the same shape.
+    """
+    node = jnp.zeros(desc.shape[0], dtype=jnp.int32)
+    b = branching
+    for ctrs in centers:
+        cand = node[:, None] * b + jnp.arange(b)[None, :]          # [N, b]
+        if ctrs.shape[0] <= 8192:
+            sim_all = desc @ ctrs.T                                # [N, n_l] MXU
+            sim = jnp.take_along_axis(sim_all, cand, axis=1)       # [N, b]
+        else:
+            sim = jnp.einsum("nd,nbd->nb", desc, ctrs[cand])       # batched
+        node = cand[jnp.arange(desc.shape[0]), jnp.argmax(sim, axis=1)]
+    return node
+
+
 class VocabTree:
     """Flat-array hierarchical k-means tree.
 
@@ -77,50 +106,29 @@ class VocabTree:
         self.branching = branching
         self.depth = depth
         self.num_words = branching**depth
-        self._descend_jit = None
 
     _CHUNK = 65536  # descent rows per dispatch: [chunk, words] sim <= ~1GB
-
-    def _descend(self, desc: jnp.ndarray) -> jnp.ndarray:
-        """Tree descent for one chunk. One MXU matmul per level.
-
-        Similarities against ALL centers of the level come from one dense
-        matmul, then each descriptor selects its node's child window with a
-        [N, b] take_along_axis on the similarity matrix. (Gathering the
-        candidate CENTER ROWS instead — [N, b, D] — moved ~0.4GB per level
-        at 100k descriptors and dominated retrieval.) Beyond the matmul
-        budget the row-gather fallback handles very deep trees.
-        """
-        node = jnp.zeros(desc.shape[0], dtype=jnp.int32)
-        b = self.branching
-        for lvl in range(self.depth):
-            ctrs = self.centers[lvl]                      # [b^lvl * b, D]
-            cand = node[:, None] * b + jnp.arange(b)[None, :]      # [N, b]
-            if ctrs.shape[0] <= 8192:
-                sim_all = desc @ ctrs.T                            # [N, n_l] MXU
-                sim = jnp.take_along_axis(sim_all, cand, axis=1)   # [N, b]
-            else:
-                sim = jnp.einsum("nd,nbd->nb", desc, ctrs[cand])   # batched
-            node = cand[jnp.arange(desc.shape[0]), jnp.argmax(sim, axis=1)]
-        return node
+    _MIN_CHUNK = 8192
 
     def quantize(self, desc: jnp.ndarray) -> jnp.ndarray:
         """desc [N, D] -> leaf/word id [N], chunked so the per-level
         similarity matrix stays ~1GB regardless of corpus size (at 1M
-        descriptors the unchunked [N, words] matmul OOMs 16GB HBM)."""
+        descriptors the unchunked [N, words] matmul OOMs 16GB HBM). Chunks
+        are power-of-2 bucketed so executables cache across corpus sizes."""
         N = desc.shape[0]
-        if N <= self._CHUNK:
-            return self._descend(desc)
-        if self._descend_jit is None:
-            self._descend_jit = jax.jit(self._descend)
+        cap = self._MIN_CHUNK
+        while cap < min(N, self._CHUNK):
+            cap *= 2
+        ctrs = tuple(self.centers)
         outs = []
-        for s in range(0, N, self._CHUNK):
-            chunk = desc[s:s + self._CHUNK]
-            pad = self._CHUNK - chunk.shape[0]
+        for s in range(0, N, cap):
+            chunk = desc[s:s + cap]
+            pad = cap - chunk.shape[0]
             if pad:
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
-            outs.append(self._descend_jit(chunk))
-        return jnp.concatenate(outs)[:N]
+            outs.append(_descend_chunk(ctrs, chunk, self.branching))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return out[:N]
 
 
 def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w: np.ndarray | None = None) -> VocabTree:
@@ -160,14 +168,26 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
         lvl_centers: list = [None] * num_nodes
         for cap in sorted(set(caps)):
             group = [n for n in range(num_nodes) if caps[n] == cap]
-            sub = np.zeros((len(group), cap, train_np.shape[1]), np.float32)
-            wts = np.zeros((len(group), cap), np.float32)
+            # Pad the GROUP axis to a power of two as well: the vmapped
+            # k-means executable is keyed on (group, cap) shapes, and group
+            # counts vary per level/run — unbucketed they forced a fresh
+            # ~20-40s remote compile per level.
+            G = 1
+            while G < len(group):
+                G *= 2
+            sub = np.zeros((G, cap, train_np.shape[1]), np.float32)
+            wts = np.zeros((G, cap), np.float32)
             for gi, n in enumerate(group):
                 rows = node_rows[n]
                 sub[gi, : len(rows)] = train_np[rows]
                 wts[gi, : len(rows)] = 1.0
+            if G > len(group):
+                # Dummy nodes train on a copy of the first node's data (valid
+                # inputs, outputs discarded).
+                sub[len(group):] = sub[0]
+                wts[len(group):] = wts[0]
             key, k2 = jax.random.split(key)
-            keys = jax.random.split(k2, len(group))
+            keys = jax.random.split(k2, G)
             outs = jax.vmap(lambda kk, s, w: _kmeans(kk, s, w, b, cfg.kmeans_iters))(
                 keys, jnp.asarray(sub), jnp.asarray(wts)
             )
@@ -210,7 +230,12 @@ def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0,
     import time
 
     key = jax.random.PRNGKey(seed)
-    desc = jnp.asarray(feats.desc)
+    # Ship descriptors as fp16: at 2k images x 1k keypoints the [B, N, 128]
+    # f32 array is ~1GB over a ~50MB/s host->device link — transfer, not
+    # compute, dominates retrieval. Descriptors are unit-norm histograms in
+    # [0, ~0.5]; fp16 keeps ~3 decimal digits, far beyond what TF-IDF
+    # similarity ranking needs. Compute stays f32 on device.
+    desc = jnp.asarray(feats.desc.astype(np.float16)).astype(jnp.float32)
     valid = jnp.asarray(feats.valid)
     B, N, D = desc.shape
 
