@@ -374,6 +374,22 @@ def decompose_essential(
     return cands_R[best], cands_t[best], n[best]
 
 
+def decompose_essential_all(E: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All four (R, t) interpretations of E, unvoted: ([4,3,3], [4,3]).
+
+    The bootstrap pose search scores every interpretation by how much it
+    actually triangulates, which is more robust than the inlier cheirality
+    vote when the baseline is marginal (SURVEY.md §2.5 init-pair selection).
+    """
+    U, _, V = svd3_twoview(E)
+    Vt = V.T
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    Ra = U @ W @ Vt
+    Rb = U @ W.T @ Vt
+    t = U[:, 2]
+    return jnp.stack([Ra, Ra, Rb, Rb]), jnp.stack([t, -t, t, -t])
+
+
 def decompose_homography(
     Hn: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -454,6 +470,56 @@ def decompose_homography(
     vs = jnp.stack([c[3] for c in cands])
     best = jnp.argmax(vs)
     return Rs[best], ts[best], ns[best], vs[best], valid
+
+
+def decompose_homography_all(Hn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All four (R, t) interpretations of a calibrated homography, unvoted.
+
+    Same Faugeras/Zhang construction as decompose_homography, but the
+    physical-solution choice is left to the caller — the bootstrap pose
+    search picks by triangulation count, which resolves the twofold planar
+    ambiguity far more reliably than the off-plane vote when H explains
+    (nearly) every correspondence. Returns ([4,3,3], [4,3])."""
+    A = Hn.T @ Hn
+    l0, l1, l2 = _eigvals3_sym(A)
+    l0 = jnp.maximum(l0, 1e-20)
+    l1 = jnp.clip(l1, 1e-20, l0)
+    l2 = jnp.clip(l2, 1e-20, l1)
+    eye = jnp.eye(3, dtype=Hn.dtype)
+
+    def eigvec(la, lb):
+        P = (A - la * eye) @ (A - lb * eye)
+        pick = jax.nn.one_hot(jnp.argmax(jnp.sum(P * P, axis=0)), 3, dtype=A.dtype)
+        v = P @ pick
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+
+    v0 = eigvec(l1, l2)
+    v2 = eigvec(l0, l1)
+    v1 = jnp.cross(v2, v0)
+    V = jnp.stack([v0, v1, v2], axis=1)
+    d1, d2, d3 = jnp.sqrt(l0), jnp.sqrt(l1), jnp.sqrt(l2)
+    U = jnp.stack([Hn @ v0 / d1, Hn @ v1 / d2, Hn @ v2 / d3], axis=1)
+    s = jnp.sign(U[:, 0] @ jnp.cross(U[:, 1], U[:, 2]))
+
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-20)
+    xa = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    xc = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+    sin_t = (d1 - d3) * xa * xc / d2
+    cos_t = (d1 * xc * xc + d3 * xa * xa) / d2
+
+    def candidate(e1, e3):
+        st = e1 * e3 * sin_t
+        Rp = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], Hn.dtype)
+        Rp = Rp.at[0, 0].set(cos_t).at[0, 2].set(-st)
+        Rp = Rp.at[2, 0].set(st).at[2, 2].set(cos_t)
+        R = s * (U @ Rp @ V.T)
+        tp = (d1 - d3) * jnp.array([e1, 0.0, 0.0]) * xa + (d1 - d3) * jnp.array([0.0, 0.0, -1.0]) * e3 * xc
+        t = U @ tp
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-20)
+        return R, t
+
+    cands = [candidate(e1, e3) for e1 in (1.0, -1.0) for e3 in (1.0, -1.0)]
+    return jnp.stack([c[0] for c in cands]), jnp.stack([c[1] for c in cands])
 
 
 def refine_essential_gn(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray, iters: int = 5) -> jnp.ndarray:

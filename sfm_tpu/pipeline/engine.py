@@ -240,30 +240,73 @@ def rank_init_pairs(
 _PARALLAX_CHUNK = 4096
 
 
-def select_init_pair(graph: MatchGraph, cfg: PipelineConfig) -> int | None:
-    """Legacy single-edge selection (no parallax gate): kept for callers
-    without features/intrinsics at hand."""
-    ok = graph.ok.copy()
-    h_ratio = graph.num_h_inliers / np.maximum(graph.num_inliers, 1)
-    ok &= graph.num_inliers >= cfg.engine.init_min_inliers
-    ok &= h_ratio <= cfg.engine.init_max_h_ratio
-    if not ok.any():
-        ok = graph.ok & (h_ratio <= cfg.engine.init_max_h_ratio)
-        if not ok.any():
-            ok = graph.ok.copy()
-            if not ok.any():
-                return None
-    score = np.where(ok, graph.num_inliers * (1.0 - 0.5 * h_ratio), -1)
-    return int(np.argmax(score))
-
-
-def _register_bootstrap(st: EngineState, graph: MatchGraph, edge: int, cfg: PipelineConfig):
+def _register_bootstrap(st: EngineState, graph: MatchGraph, edge: int, cfg: PipelineConfig,
+                        rvec: np.ndarray | None = None, tvec: np.ndarray | None = None):
     i, j = graph.pairs[edge]
     st.rvecs[i] = 0.0
     st.tvecs[i] = 0.0
-    st.rvecs[j] = graph.rvec[edge]
-    st.tvecs[j] = graph.tvec[edge]
+    st.rvecs[j] = graph.rvec[edge] if rvec is None else rvec
+    st.tvecs[j] = graph.tvec[edge] if tvec is None else tvec
     st.registered[i] = st.registered[j] = True
+
+
+@jax.jit
+def _two_view_pose_search(x1, x2, mask, rvec0, tvec0, min_angle_deg, thr_norm_sq):
+    """Best relative pose for a bootstrap edge, by triangulability.
+
+    Refits E and H on the edge's inlier correspondences (normalized camera
+    coords, padded + masked) and scores ALL their decomposition candidates —
+    4 from E, 4 from H, plus the stored verify pose — by how many
+    correspondences land in front of both cameras with parallax above the
+    triangulation gate. The verify-stage cheirality/plane votes are near
+    coin-flips when the baseline is marginal (H explains everything), which
+    silently killed whole clusters at dense-capture scale; counting what a
+    pose actually triangulates is decisive. Returns (rvec, tvec, count)."""
+    from sfm_tpu.geometry.rotations import matrix_to_aa
+    from sfm_tpu.ops import solvers
+
+    w = mask.astype(x1.dtype)
+    E = solvers.essential_minimal(x1, x2, w)
+    Re, te = solvers.decompose_essential_all(E)
+    Hn = solvers.homography_4pt(x1, x2, w)
+    Rh, th = solvers.decompose_homography_all(Hn)
+    R0 = so3_exp(rvec0)
+    t0 = tvec0 / jnp.maximum(jnp.linalg.norm(tvec0), 1e-9)
+    Rs = jnp.concatenate([R0[None], Re, Rh])          # [9, 3, 3]
+    ts = jnp.concatenate([t0[None], te, th])          # [9, 3]
+
+    r1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    r2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+    r2 = r2 / jnp.linalg.norm(r2, axis=-1, keepdims=True)
+    cos_gate = jnp.cos(jnp.deg2rad(min_angle_deg))
+
+    f1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    f2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+
+    def score(R, t):
+        z1, z2 = solvers.two_view_depths(R, t, x1, x2)
+        r2_in_1 = r2 @ R                               # R^T r2 rowwise
+        cosang = jnp.sum(r1 * r2_in_1, axis=-1)
+        # Reprojection gate: a garbage pose can fake parallax (wrong R) and
+        # still put half the depths in front by chance — but its rays are
+        # skew, so the least-squares 3D point reprojects far from the
+        # measurements. Midpoint of the two ray endpoints, both-view check.
+        X1 = z1[:, None] * f1
+        X2_in_1 = (z2[:, None] * f2 - t) @ R
+        Xm = 0.5 * (X1 + X2_in_1)
+        zm1 = jnp.where(jnp.abs(Xm[:, 2]) < 1e-9, 1e-9, Xm[:, 2])
+        e1 = jnp.sum((Xm[:, :2] / zm1[:, None] - x1) ** 2, axis=-1)
+        Xc2 = Xm @ R.T + t
+        zm2 = jnp.where(jnp.abs(Xc2[:, 2]) < 1e-9, 1e-9, Xc2[:, 2])
+        e2 = jnp.sum((Xc2[:, :2] / zm2[:, None] - x2) ** 2, axis=-1)
+        ok = (mask & (z1 > 0) & (z2 > 0) & (Xm[:, 2] > 0) & (Xc2[:, 2] > 0)
+              & (cosang <= cos_gate) & (e1 <= thr_norm_sq) & (e2 <= thr_norm_sq))
+        return jnp.sum(ok)
+
+    counts = jax.vmap(score)(Rs, ts)
+    best = jnp.argmax(counts)
+    return matrix_to_aa(Rs[best]), ts[best], counts[best]
 
 
 def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int:
@@ -492,12 +535,44 @@ def incremental_reconstruct(
     # below the triangulation-angle gate). Try ranked candidates until one
     # produces a usable seed map; roll the 2-camera state back in between.
     min_seed_pts = max(8, cfg.engine.abs_pose_min_inliers)
+    M = graph.idx_i.shape[1]
+
+    def searched_pose(e: int):
+        """Triangulability-scored pose for edge e (see _two_view_pose_search)."""
+        i, j = graph.pairs[e]
+        uv_i = feats.xy[i, graph.idx_i[e]]
+        uv_j = feats.xy[j, graph.idx_j[e]]
+        x1 = _pixel_to_camera_padded(uv_i, np.broadcast_to(intrinsics[i], (M, 6)))
+        x2 = _pixel_to_camera_padded(uv_j, np.broadcast_to(intrinsics[j], (M, 6)))
+        m = np.zeros(len(x1), bool)
+        m[:M] = graph.inlier[e]
+        f_pair = float(np.sqrt(max(intrinsics[i, 0] * intrinsics[j, 0], 1.0)))
+        thr = (cfg.ransac.error_threshold_px / f_pair) ** 2
+        rv, tv, n = _two_view_pose_search(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m),
+            jnp.asarray(graph.rvec[e]), jnp.asarray(graph.tvec[e]),
+            float(cfg.engine.min_triangulation_angle_deg), thr,
+        )
+        return np.asarray(rv), np.asarray(tv), int(n)
+
+    tried = 0
     edge = int(cands[0])
-    for k, cand in enumerate(cands[: cfg.engine.init_candidates]):
+    for cand in cands[: 4 * cfg.engine.init_candidates]:
+        if tried >= cfg.engine.init_candidates:
+            break
         edge = int(cand)
-        _register_bootstrap(st, graph, edge, cfg)
+        rv, tv, n_tri = searched_pose(edge)
+        if n_tri < min_seed_pts:
+            # No pose interpretation of this edge triangulates a seed map —
+            # skip without touching state (one tiny device call, no rollback).
+            if cfg.verbose:
+                print(f"[sfm_tpu] bootstrap edge {graph.pairs[edge]} rejected: "
+                      f"best pose triangulates {n_tri} < {min_seed_pts}")
+            tried += 1
+            continue
+        _register_bootstrap(st, graph, edge, cfg, rvec=rv, tvec=tv)
         _triangulate_new(st, cfg, cfg.verbose)
-        if st.num_points >= min_seed_pts or k == len(cands[: cfg.engine.init_candidates]) - 1:
+        if st.num_points >= min_seed_pts:
             break
         if cfg.verbose:
             print(f"[sfm_tpu] bootstrap edge {graph.pairs[edge]} rejected: "
@@ -509,6 +584,19 @@ def incremental_reconstruct(
         st.track_point[:] = -1
         st.point_valid[: st.num_points] = False
         st.num_points = 0
+        tried += 1
+    if st.num_points == 0:
+        # Last resort: take the globally best searched pose even below the
+        # seed bar (a 2-camera map can still grow via retries).
+        best = None
+        for cand in cands[: cfg.engine.init_candidates]:
+            rv, tv, n_tri = searched_pose(int(cand))
+            if best is None or n_tri > best[3]:
+                best = (int(cand), rv, tv, n_tri)
+        if best is not None and best[3] > 0:
+            edge = best[0]
+            _register_bootstrap(st, graph, edge, cfg, rvec=best[1], tvec=best[2])
+            _triangulate_new(st, cfg, cfg.verbose)
     if st.num_points == 0:
         raise RuntimeError("bootstrap failed: no candidate pair triangulated any points")
     _run_ba(st, cfg)  # two-view BA

@@ -87,3 +87,39 @@ def test_rank_falls_back_when_nothing_passes():
     order = rank_init_pairs(graph, feats, intrinsics, cfg)
     assert len(order) == 2
     assert order[0] == 1
+
+
+def test_pose_search_recovers_translation_and_rejects_rotation():
+    import jax.numpy as jnp
+
+    from sfm_tpu.pipeline.engine import _two_view_pose_search
+
+    feats, graph, intrinsics = _make_case()
+    f, c = 300.0, 128.0
+
+    def norm_coords(img, idx):
+        uv = feats.xy[img, idx]
+        return (uv - c) / f
+
+    # Edge 1 (translated): pose search must triangulate most correspondences
+    # even when fed a WRONG stored pose (the dense-capture failure mode).
+    x1 = jnp.asarray(norm_coords(0, graph.idx_i[1]))
+    x2 = jnp.asarray(norm_coords(2, graph.idx_j[1]))
+    m = jnp.asarray(graph.inlier[1])
+    wrong_rv = jnp.asarray(np.array([0.3, 0.0, 0.0], np.float32))
+    wrong_tv = jnp.asarray(np.array([0.0, 0.0, 1.0], np.float32))
+    rv, tv, n = _two_view_pose_search(x1, x2, m, wrong_rv, wrong_tv, 1.5, (2.0 / 300.0) ** 2)
+    assert int(n) >= int(graph.inlier[1].sum()) * 3 // 4
+    # True translation is -trans = (-0.8, 0, 0) up to scale (t = -R @ C).
+    t_est = np.asarray(tv)
+    assert abs(t_est[0] / np.linalg.norm(t_est)) > 0.95
+
+    # Edge 0 (pure rotation): nothing can be triangulated from any pose.
+    x1r = jnp.asarray(norm_coords(0, graph.idx_i[0]))
+    x2r = jnp.asarray(norm_coords(1, graph.idx_j[0]))
+    mr = jnp.asarray(graph.inlier[0])
+    _, _, nr = _two_view_pose_search(
+        x1r, x2r, mr, jnp.asarray(graph.rvec[0]), jnp.asarray(np.ones(3, np.float32)), 1.5,
+        (2.0 / 300.0) ** 2,
+    )
+    assert int(nr) < 10
