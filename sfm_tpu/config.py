@@ -114,6 +114,14 @@ class EngineConfig:
     abs_pose_min_inliers: int = 12
     abs_pose_error_px: float = 8.0
     min_triangulation_angle_deg: float = 1.5
+    # Bootstrap-only parallax floor. On dense (video-like) capture EVERY
+    # nearby pair sits below the map-quality triangulation gate; the seed
+    # pair only needs enough parallax to be distinguishable from a pure
+    # rotation (a few times the noise-level apparent parallax) — map quality
+    # then comes from multi-view tracks spanning wide baselines. Gating the
+    # seed at the full angle rejects honest poses and selects for wrongly
+    # estimated ones whose error inflates apparent parallax.
+    init_min_triangulation_angle_deg: float = 0.3
     max_reprojection_error_px: float = 6.0
     local_ba_window: int = 8            # most recent cameras optimized in local BA
     local_ba_max_cameras: int = 64      # window + top co-observing cameras in the local problem

@@ -230,7 +230,7 @@ def rank_init_pairs(
         _edge_parallax_deg(graph, top[s: s + _PARALLAX_CHUNK], feats, intrinsics)
         for s in range(0, len(top), _PARALLAX_CHUNK)
     ])
-    gate = parallax >= max(cfg.engine.min_triangulation_angle_deg, 1e-3)
+    gate = parallax >= max(cfg.engine.init_min_triangulation_angle_deg, 1e-3)
     # Pass-group by score; fail-group by parallax (most parallax first) so the
     # retry loop still makes progress on scenes where nothing passes the gate.
     order = np.lexsort((-np.where(gate, score[top], parallax), ~gate))
@@ -309,8 +309,12 @@ def _two_view_pose_search(x1, x2, mask, rvec0, tvec0, min_angle_deg, thr_norm_sq
     return matrix_to_aa(Rs[best]), ts[best], counts[best]
 
 
-def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int:
-    """Triangulate tracks seen by >=2 registered images that lack a point."""
+def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool,
+                     min_angle_override: float | None = None) -> int:
+    """Triangulate tracks seen by >=2 registered images that lack a point.
+
+    min_angle_override: bootstrap passes the (much lower) seed-pair parallax
+    floor here; steady-state triangulation uses the map-quality gate."""
     tr = st.tracks
     reg_obs = st.obs_alive & st.registered[tr.obs_image]
     seen = np.bincount(tr.track_id[reg_obs], minlength=tr.num_tracks)
@@ -350,9 +354,11 @@ def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool) -> int
     mask[slots, rank] = True
 
     f_mean = float(np.mean(st.intrinsics[st.registered, 0]))
+    min_angle = (cfg.engine.min_triangulation_angle_deg
+                 if min_angle_override is None else min_angle_override)
     res = triangulate_tracks(
         jnp.asarray(rvecs), jnp.asarray(tvecs), jnp.asarray(xy), jnp.asarray(mask),
-        min_angle_deg=cfg.engine.min_triangulation_angle_deg,
+        min_angle_deg=min_angle,
         max_error_norm=cfg.engine.max_reprojection_error_px / f_mean,
     )
     valid = np.asarray(res.valid)[: len(cand)]
@@ -551,7 +557,7 @@ def incremental_reconstruct(
         rv, tv, n = _two_view_pose_search(
             jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m),
             jnp.asarray(graph.rvec[e]), jnp.asarray(graph.tvec[e]),
-            float(cfg.engine.min_triangulation_angle_deg), thr,
+            float(cfg.engine.init_min_triangulation_angle_deg), thr,
         )
         return np.asarray(rv), np.asarray(tv), int(n)
 
@@ -571,7 +577,8 @@ def incremental_reconstruct(
             tried += 1
             continue
         _register_bootstrap(st, graph, edge, cfg, rvec=rv, tvec=tv)
-        _triangulate_new(st, cfg, cfg.verbose)
+        _triangulate_new(st, cfg, cfg.verbose,
+                         min_angle_override=cfg.engine.init_min_triangulation_angle_deg)
         if st.num_points >= min_seed_pts:
             break
         if cfg.verbose:
@@ -596,7 +603,8 @@ def incremental_reconstruct(
         if best is not None and best[3] > 0:
             edge = best[0]
             _register_bootstrap(st, graph, edge, cfg, rvec=best[1], tvec=best[2])
-            _triangulate_new(st, cfg, cfg.verbose)
+            _triangulate_new(st, cfg, cfg.verbose,
+                             min_angle_override=cfg.engine.init_min_triangulation_angle_deg)
     if st.num_points == 0:
         raise RuntimeError("bootstrap failed: no candidate pair triangulated any points")
     _run_ba(st, cfg)  # two-view BA

@@ -82,7 +82,7 @@ def test_rank_falls_back_when_nothing_passes():
     # Impossible parallax bar: gate fails for both; ranking must still return
     # candidates (most-parallax first) so the bootstrap retry loop can run.
     cfg = PipelineConfig(
-        engine=EngineConfig(init_min_inliers=20, min_triangulation_angle_deg=89.0)
+        engine=EngineConfig(init_min_inliers=20, init_min_triangulation_angle_deg=89.0)
     )
     order = rank_init_pairs(graph, feats, intrinsics, cfg)
     assert len(order) == 2
