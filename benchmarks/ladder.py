@@ -64,7 +64,7 @@ def main():
         partition=PartitionConfig(
             enabled=partition,
             target_cluster_size=max(25, n // 16),
-            overlap_cameras=6,
+            overlap_cameras=16,
             parallel_clusters=4 if n >= 256 else 1,
         ),
         pair_mode=pair_mode,

@@ -149,8 +149,13 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
             cap *= 2
         return cap
 
+    import os
+    import time
+    prof = bool(os.environ.get("SFM_TPU_VOCAB_PROFILE"))
+
     train_np = np.asarray(training_desc)
     for lvl in range(depth):
+        t0 = time.perf_counter()
         assign_np = np.asarray(assignments)
         # Group nodes by padded bucket size and vmap one k-means call per
         # group: the per-node calls are tiny, and on a high-latency device
@@ -165,6 +170,7 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
                 rows = valid_rows[: max(b, len(rows))]
             node_rows.append(rows)
         caps = [bucket(len(r)) for r in node_rows]
+        t1 = time.perf_counter()
         lvl_centers: list = [None] * num_nodes
         for cap in sorted(set(caps)):
             group = [n for n in range(num_nodes) if caps[n] == cap]
@@ -194,10 +200,17 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
             for gi, n in enumerate(group):
                 lvl_centers[n] = outs[gi]
         ctrs = jnp.concatenate(lvl_centers, axis=0)       # [num_nodes * b, D]
+        ctrs.block_until_ready()
         centers.append(ctrs)
+        t2 = time.perf_counter()
         # Re-assign all training descriptors to the new level's nodes.
         tree_so_far = VocabTree(centers, b, lvl + 1)
         assignments = tree_so_far.quantize(training_desc)
+        assignments.block_until_ready()
+        if prof:
+            print(f"[sfm_tpu]     vocab lvl {lvl}: group {t1 - t0:.2f}s, "
+                  f"fit {t2 - t1:.2f}s, reassign {time.perf_counter() - t2:.2f}s "
+                  f"({num_nodes} nodes)")
         num_nodes *= b
     return VocabTree(centers, b, depth)
 

@@ -41,16 +41,53 @@ def apply_sim3_to_reconstruction(rec: Reconstruction, s: float, R: np.ndarray, t
 
 
 def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, verbose: bool = False) -> Reconstruction:
-    """Align `other` into `base`'s frame via shared registered cameras, then
-    union points/observations with (image, keypoint)-keyed dedup."""
+    """Align `other` into `base`'s frame via shared registered cameras AND
+    shared 3D points, then union points/observations with (image,
+    keypoint)-keyed dedup.
+
+    The overlap cameras alone are a short, nearly-collinear arc of the
+    capture path, so a camera-only Umeyama leaves a free rotation about that
+    arc — at pod scale the cluster chain accumulated that gauge slack into
+    global distortion. Shared tracks (matched by observation identity, which
+    needs no geometry) add volumetric correspondences that pin the rotation;
+    one trimmed re-fit drops gross outlier pairs."""
     shared = np.where(base.registered & other.registered)[0]
     if len(shared) < min_shared:
         raise ValueError(f"only {len(shared)} shared cameras; need >= {min_shared}")
 
-    src = _centers(other, shared)
-    dst = _centers(base, shared)
+    # Observation-identity match (image, keypoint) — geometry-free, so it can
+    # run BEFORE alignment and feed shared-point correspondences into it.
+    kb = base.obs_image.astype(np.int64) << 32 | base.obs_kp.astype(np.int64)
+    ko = other.obs_image.astype(np.int64) << 32 | other.obs_kp.astype(np.int64)
+    order = np.argsort(kb, kind="stable")
+    kb_sorted = kb[order]
+    pos = np.searchsorted(kb_sorted, ko)
+    pos_c = np.minimum(pos, len(kb_sorted) - 1) if len(kb_sorted) else np.zeros_like(pos)
+    matched = (len(kb_sorted) > 0) & (kb_sorted[pos_c] == ko)
+    base_pid_of_row = np.where(matched, base.obs_point[order[pos_c]], -1)
+
+    # Shared-point pairs: rows whose tracks are valid on both sides.
+    pair_rows = np.where(
+        matched
+        & other.point_valid[other.obs_point]
+        & base.point_valid[np.maximum(base_pid_of_row, 0)]
+    )[0]
+    pid_pairs = np.unique(
+        np.stack([other.obs_point[pair_rows], base_pid_of_row[pair_rows]], axis=1), axis=0
+    ) if len(pair_rows) else np.zeros((0, 2), np.int64)
+
+    src = np.concatenate([_centers(other, shared), other.points[pid_pairs[:, 0]]])
+    dst = np.concatenate([_centers(base, shared), base.points[pid_pairs[:, 1]]])
     s, R, t = umeyama(jnp.asarray(src), jnp.asarray(dst))
     s, R, t = float(s), np.asarray(R), np.asarray(t)
+    if len(src) > 2 * len(shared):
+        # Trimmed re-fit: drop the worst-residual 25% (wrongly-linked tracks
+        # or badly-triangulated points would otherwise skew the alignment).
+        res = np.linalg.norm((s * src @ R.T + t) - dst, axis=1)
+        keep = res <= np.quantile(res, 0.75)
+        if keep.sum() >= 3:
+            s, R, t = umeyama(jnp.asarray(src[keep]), jnp.asarray(dst[keep]))
+            s, R, t = float(s), np.asarray(R), np.asarray(t)
     other = apply_sim3_to_reconstruction(other, s, R, t)
 
     # Merged camera set: base wins on shared cameras.
@@ -62,20 +99,6 @@ def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, 
     out.rvecs[only_other] = other.rvecs[only_other]
     out.tvecs[only_other] = other.tvecs[only_other]
     out.registered |= other.registered
-
-    # Vectorized observation union (the per-observation dict/loop version
-    # was the same class of host bottleneck the track builder moved to C++;
-    # at 10k-image partitions the tables have millions of rows).
-    # Keys: (image, keypoint) packed into one int64 — unique per observation
-    # within a reconstruction (a keypoint belongs to at most one track).
-    kb = base.obs_image.astype(np.int64) << 32 | base.obs_kp.astype(np.int64)
-    ko = other.obs_image.astype(np.int64) << 32 | other.obs_kp.astype(np.int64)
-    order = np.argsort(kb, kind="stable")
-    kb_sorted = kb[order]
-    pos = np.searchsorted(kb_sorted, ko)
-    pos_c = np.minimum(pos, len(kb_sorted) - 1) if len(kb_sorted) else np.zeros_like(pos)
-    matched = (len(kb_sorted) > 0) & (kb_sorted[pos_c] == ko)
-    base_pid_of_row = np.where(matched, base.obs_point[order[pos_c]], -1)
 
     valid_row = other.point_valid[other.obs_point]
     P_other = len(other.points)

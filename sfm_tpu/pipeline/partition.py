@@ -149,8 +149,19 @@ def partitioned_reconstruct(
 
     if cfg.partition.merge_global_ba and merged.num_points > 4:
         from sfm_tpu.ba import build_problem, dispatch_bundle_adjust, writeback
+        from sfm_tpu.scene.state import filter_observations
 
-        prob, cams, pids = build_problem(merged)
-        out, _ = dispatch_bundle_adjust(prob, cfg)
-        writeback(merged, out, cams, pids)
+        # BA -> filter -> BA: sim3-chained clusters carry alignment drift and
+        # a few wrongly-linked cross-cluster tracks; one robust solve leaves
+        # those as gross outliers, so filter and re-solve (the engine's
+        # final-polish schedule, applied to the merged model).
+        for round_ in range(2):
+            prob, cams, pids = build_problem(merged)
+            out, _ = dispatch_bundle_adjust(prob, cfg)
+            writeback(merged, out, cams, pids)
+            dropped = filter_observations(merged, cfg.engine.max_reprojection_error_px)
+            if cfg.verbose and dropped:
+                print(f"[sfm_tpu] merge polish {round_}: dropped {dropped} outlier obs")
+            if dropped == 0:
+                break
     return merged

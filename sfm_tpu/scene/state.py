@@ -121,3 +121,29 @@ class Reconstruction:
             "mean_track_length": float(tl.mean()) if len(tl) else 0.0,
             "track_length_hist": {f">={e}": int(c) for e, c in zip(hist_edges, hist)},
         }
+
+
+def filter_observations(rec: Reconstruction, max_err_px: float) -> int:
+    """Drop gross-outlier observations and starved points in place.
+
+    Same policy as the engine's per-round filter (SURVEY.md §2.5 outlier
+    filtering), but operating on a materialized Reconstruction — used
+    between global-BA passes after a divide-and-conquer merge, where
+    wrongly-linked cross-cluster tracks poison the robust solve. Removes
+    observations with reprojection error above max_err_px, invalidates
+    points left with <2 observations, and prunes their remaining rows.
+    Returns the number of observation rows removed.
+    """
+    if rec.num_observations == 0:
+        return 0
+    n0 = rec.num_observations
+    errs = rec.reprojection_errors()
+    keep = (errs <= max_err_px) & rec.point_valid[rec.obs_point]
+    for name in ("obs_point", "obs_image", "obs_kp", "obs_uv"):
+        setattr(rec, name, getattr(rec, name)[keep])
+    counts = np.bincount(rec.obs_point, minlength=len(rec.points))
+    rec.point_valid &= counts >= 2
+    keep2 = rec.point_valid[rec.obs_point]
+    for name in ("obs_point", "obs_image", "obs_kp", "obs_uv"):
+        setattr(rec, name, getattr(rec, name)[keep2])
+    return n0 - rec.num_observations
