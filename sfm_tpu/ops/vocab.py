@@ -28,6 +28,19 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_batch(keys, data_all: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
+                  k: int, iters: int) -> jnp.ndarray:
+    """One node-group of k-means fits as ONE compiled program.
+
+    The training corpus stays RESIDENT on device and each node's subset is
+    gathered by (tiny) index arrays — the host-side subset assembly
+    re-shipped ~134MB per tree level over a ~50MB/s link. The vmap lives
+    INSIDE the jit so the whole group is one dispatch (an eager vmap over a
+    jitted body re-enters the tracer and dispatches per primitive)."""
+    return jax.vmap(lambda kk, ii, ww: _kmeans(kk, data_all[ii], ww, k, iters))(keys, idx, w)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
 def _kmeans(key, data: jnp.ndarray, w: jnp.ndarray, k: int, iters: int) -> jnp.ndarray:
     """Weighted spherical k-means on unit-norm descriptors.
 
@@ -65,6 +78,19 @@ def _kmeans(key, data: jnp.ndarray, w: jnp.ndarray, k: int, iters: int) -> jnp.n
 
 
 @functools.partial(jax.jit, static_argnames=("branching",))
+def _reassign_level(ctrs: jnp.ndarray, desc: jnp.ndarray, node: jnp.ndarray,
+                    branching: int) -> jnp.ndarray:
+    """Advance assignments one level: each row only compares against its
+    current node's children (on-device center gather — HBM-cheap; the full
+    root-to-leaf descent per level re-did all previous levels' matmuls and
+    cost ~7s/level at 200k training rows)."""
+    b = branching
+    cand = node[:, None] * b + jnp.arange(b)[None, :]              # [N, b]
+    sim = jnp.einsum("nd,nbd->nb", desc, ctrs[cand])
+    return cand[jnp.arange(desc.shape[0]), jnp.argmax(sim, axis=1)]
+
+
+@functools.partial(jax.jit, static_argnames=("branching",))
 def _descend_chunk(centers: tuple, desc: jnp.ndarray, branching: int) -> jnp.ndarray:
     """Tree descent for one chunk. One MXU matmul per level.
 
@@ -82,13 +108,21 @@ def _descend_chunk(centers: tuple, desc: jnp.ndarray, branching: int) -> jnp.nda
     """
     node = jnp.zeros(desc.shape[0], dtype=jnp.int32)
     b = branching
+    # Similarities only feed an argmax over b children — bf16 inputs with
+    # f32 accumulation lose nothing and skip the global
+    # default_matmul_precision=highest 6-pass f32 decomposition (the deep
+    # levels' [chunk, words] matmul dominated retrieval).
+    desc_bf = desc.astype(jnp.bfloat16)
     for ctrs in centers:
+        ctrs_bf = ctrs.astype(jnp.bfloat16)
         cand = node[:, None] * b + jnp.arange(b)[None, :]          # [N, b]
         if ctrs.shape[0] <= 8192:
-            sim_all = desc @ ctrs.T                                # [N, n_l] MXU
+            sim_all = jnp.dot(desc_bf, ctrs_bf.T,
+                              preferred_element_type=jnp.float32)  # [N, n_l] MXU
             sim = jnp.take_along_axis(sim_all, cand, axis=1)       # [N, b]
         else:
-            sim = jnp.einsum("nd,nbd->nb", desc, ctrs[cand])       # batched
+            sim = jnp.einsum("nd,nbd->nb", desc_bf, ctrs_bf[cand],
+                             preferred_element_type=jnp.float32)   # batched
         node = cand[jnp.arange(desc.shape[0]), jnp.argmax(sim, axis=1)]
     return node
 
@@ -131,6 +165,9 @@ class VocabTree:
         return out[:N]
 
 
+_MAX_NODE_TRAIN = 8192  # per-node k-means training row cap (fits b centers fine)
+
+
 def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w: np.ndarray | None = None) -> VocabTree:
     """Hierarchical spherical k-means over training descriptors.
 
@@ -153,7 +190,7 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
     import time
     prof = bool(os.environ.get("SFM_TPU_VOCAB_PROFILE"))
 
-    train_np = np.asarray(training_desc)
+    training_desc = jnp.asarray(training_desc)  # device-resident for gathers
     for lvl in range(depth):
         t0 = time.perf_counter()
         assign_np = np.asarray(assignments)
@@ -168,6 +205,12 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
                 # Sparse node: pad the training set with other VALID rows only
                 # — zero-weight padding descriptors must never enter k-means.
                 rows = valid_rows[: max(b, len(rows))]
+            if len(rows) > _MAX_NODE_TRAIN:
+                # Fitting b centers needs nowhere near the full subset; an
+                # evenly-strided subsample bounds the per-node k-means (the
+                # unsubsampled ROOT call ran top_k over the whole corpus
+                # every iteration — 85s of a 176s build at 2k images).
+                rows = rows[:: (len(rows) + _MAX_NODE_TRAIN - 1) // _MAX_NODE_TRAIN]
             node_rows.append(rows)
         caps = [bucket(len(r)) for r in node_rows]
         t1 = time.perf_counter()
@@ -181,21 +224,22 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
             G = 1
             while G < len(group):
                 G *= 2
-            sub = np.zeros((G, cap, train_np.shape[1]), np.float32)
+            idx = np.zeros((G, cap), np.int32)
             wts = np.zeros((G, cap), np.float32)
             for gi, n in enumerate(group):
                 rows = node_rows[n]
-                sub[gi, : len(rows)] = train_np[rows]
+                idx[gi, : len(rows)] = rows
                 wts[gi, : len(rows)] = 1.0
             if G > len(group):
                 # Dummy nodes train on a copy of the first node's data (valid
                 # inputs, outputs discarded).
-                sub[len(group):] = sub[0]
+                idx[len(group):] = idx[0]
                 wts[len(group):] = wts[0]
             key, k2 = jax.random.split(key)
             keys = jax.random.split(k2, G)
-            outs = jax.vmap(lambda kk, s, w: _kmeans(kk, s, w, b, cfg.kmeans_iters))(
-                keys, jnp.asarray(sub), jnp.asarray(wts)
+            outs = _kmeans_batch(
+                keys, training_desc, jnp.asarray(idx), jnp.asarray(wts),
+                b, cfg.kmeans_iters,
             )
             for gi, n in enumerate(group):
                 lvl_centers[n] = outs[gi]
@@ -204,8 +248,7 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
         centers.append(ctrs)
         t2 = time.perf_counter()
         # Re-assign all training descriptors to the new level's nodes.
-        tree_so_far = VocabTree(centers, b, lvl + 1)
-        assignments = tree_so_far.quantize(training_desc)
+        assignments = _reassign_level(ctrs, training_desc, assignments, b)
         assignments.block_until_ready()
         if prof:
             print(f"[sfm_tpu]     vocab lvl {lvl}: group {t1 - t0:.2f}s, "
