@@ -54,19 +54,21 @@ def bench_matching():
     from sfm_tpu.ops.match import match_block
 
     cfg = MatchConfig(max_matches=1024)
-    rng = np.random.default_rng(0)
 
-    def mk():
-        d = rng.normal(size=(_MATCH_P, _MATCH_N, 128)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        return jnp.asarray(d)
-
-    # Distinct pre-staged blocks per timed call: the axon runtime memoizes
-    # identical (executable, inputs) calls, so repeating one block times
-    # nothing. 6 blocks x P pairs, all device-resident before the clock.
+    # Distinct blocks per timed call (the axon runtime memoizes identical
+    # (executable, inputs) calls, so repeating one block times nothing),
+    # GENERATED ON DEVICE from a seed scalar: shipping ~200MB of host-staged
+    # descriptors is minutes when the host<->device tunnel degrades, and the
+    # chip-throughput number must not depend on link weather.
+    gen = jax.jit(lambda seed: tuple(
+        d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        for d in jax.random.normal(
+            jax.random.PRNGKey(seed), (2, _MATCH_P, _MATCH_N, 128), jnp.float32)
+    ))
     n_blocks = 6
-    warm = (mk(), mk())
-    blocks = [(mk(), mk()) for _ in range(n_blocks)]
+    warm = gen(0)
+    blocks = [gen(i + 1) for i in range(n_blocks)]
+    jax.block_until_ready(blocks)
     v = jnp.ones((_MATCH_P, _MATCH_N), dtype=bool)
     out = match_block(warm[0], v, warm[1], v, cfg)             # compile
     _ = np.asarray(out.valid)
@@ -132,15 +134,16 @@ def bench_features():
     from sfm_tpu.ops.sift import extract_features
 
     cfg = SiftConfig(image_max_dim=_FEAT_S)
-    rng = np.random.default_rng(2)
     hw = jnp.asarray(np.tile([[_FEAT_S, _FEAT_S]], (_FEAT_B, 1)).astype(np.int32))
 
-    def mk():
-        return jnp.asarray(rng.uniform(0, 1, (_FEAT_B, _FEAT_S, _FEAT_S)).astype(np.float32))
-
+    # Device-generated batches (see bench_matching: fresh inputs without
+    # paying host->device transfer on a degraded link).
+    mk = jax.jit(lambda seed: jax.random.uniform(
+        jax.random.PRNGKey(seed), (_FEAT_B, _FEAT_S, _FEAT_S), jnp.float32))
     reps = 3
-    warm = mk()
-    batches = [mk() for _ in range(reps)]  # distinct inputs (memoization, see bench_ba)
+    warm = mk(0)
+    batches = [mk(i + 1) for i in range(reps)]
+    jax.block_until_ready(batches)
     f = extract_features(warm, cfg, hw)            # compile
     _ = np.asarray(f.desc)
     t0 = time.perf_counter()
