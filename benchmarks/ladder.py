@@ -69,6 +69,9 @@ def main():
         ),
         pair_mode=pair_mode,
         verbose=True,
+        # Stage artifacts keyed by config+input hash: a crashed/iterated
+        # run at 1-10k scale resumes past the ~25-min feature stage.
+        artifact_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".ladder_cache"),
     )
     t0 = time.perf_counter()
     rec = run_pipeline(list(imgs), cfg)

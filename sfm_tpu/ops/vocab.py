@@ -166,6 +166,7 @@ class VocabTree:
 
 
 _MAX_NODE_TRAIN = 8192  # per-node k-means training row cap (fits b centers fine)
+_REASSIGN_CHUNK = 262144  # rows per reassignment dispatch ([chunk, b, D] ~ 1GB)
 
 
 def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w: np.ndarray | None = None) -> VocabTree:
@@ -247,8 +248,24 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
         ctrs.block_until_ready()
         centers.append(ctrs)
         t2 = time.perf_counter()
-        # Re-assign all training descriptors to the new level's nodes.
-        assignments = _reassign_level(ctrs, training_desc, assignments, b)
+        # Re-assign all training descriptors to the new level's nodes,
+        # chunked: the [N, b, D] candidate-center gather is materialized by
+        # XLA, and at 2.5M training rows (10k images) that is ~10GB — past
+        # HBM. 256k-row chunks keep it ~1GB.
+        N_train = int(training_desc.shape[0])
+        if N_train <= _REASSIGN_CHUNK:
+            assignments = _reassign_level(ctrs, training_desc, assignments, b)
+        else:
+            parts = []
+            for s in range(0, N_train, _REASSIGN_CHUNK):
+                dchunk = training_desc[s: s + _REASSIGN_CHUNK]
+                achunk = assignments[s: s + _REASSIGN_CHUNK]
+                pad = _REASSIGN_CHUNK - dchunk.shape[0]
+                if pad:  # pad the tail so one executable serves every chunk
+                    dchunk = jnp.pad(dchunk, ((0, pad), (0, 0)))
+                    achunk = jnp.pad(achunk, (0, pad))
+                parts.append(_reassign_level(ctrs, dchunk, achunk, b)[: _REASSIGN_CHUNK - pad])
+            assignments = jnp.concatenate(parts)
         assignments.block_until_ready()
         if prof:
             print(f"[sfm_tpu]     vocab lvl {lvl}: group {t1 - t0:.2f}s, "
@@ -275,6 +292,15 @@ def bow_vectors(tree: VocabTree, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
     idf = jnp.log(B / jnp.maximum(df, 1.0) + 1.0)
     v = tf * idf[None, :]
     return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_neighbors(bow: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-image top-k most-similar images by TF-IDF dot product. [B, k]."""
+    sim = jnp.dot(bow.astype(jnp.bfloat16), bow.astype(jnp.bfloat16).T,
+                  preferred_element_type=jnp.float32)            # [B, B] MXU
+    sim = sim - 2.0 * jnp.eye(sim.shape[0], dtype=sim.dtype)     # kill self-match
+    return jax.lax.top_k(sim, k)[1]
 
 
 def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0,
@@ -305,19 +331,17 @@ def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0,
     t0 = time.perf_counter()
     tree = build_vocab_tree(key, train, cfg, train_w=train_w)
     t1 = time.perf_counter()
+    k = min(cfg.num_neighbors, B - 1)
     bow = bow_vectors(tree, desc, valid)                 # [B, W]
-    sim = np.array(bow @ bow.T)                          # [B, B] MXU (copy: mutated below)
+    # Score + top-k ON DEVICE: the [B, B] similarity matrix is 400MB at 10k
+    # images — shipping it to host for argpartition is pure link traffic;
+    # only the [B, k] neighbor ids come back.
+    nbrs = np.asarray(_topk_neighbors(bow, k))
     t2 = time.perf_counter()
     if verbose:
         print(f"[sfm_tpu]   vocab: build {t1 - t0:.2f}s, "
               f"quantize+score {t2 - t1:.2f}s (B={B}, {tree.num_words} words)")
-    np.fill_diagonal(sim, -1.0)
 
-    # Top-k neighbors per image, vectorized (the per-image argsort loop was
-    # O(B^2 log B) host time at 1k+ images): one argpartition over rows,
-    # then canonicalize + dedup the (i, j) pairs.
-    k = min(cfg.num_neighbors, B - 1)
-    nbrs = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]       # [B, k]
     ii = np.repeat(np.arange(B), k)
     jj = nbrs.reshape(-1)
     keep = ii != jj

@@ -149,7 +149,9 @@ def extract_stage_streaming(paths: list, cfg: PipelineConfig):
 
 # Keep the whole feature set resident on the matching chip below this size
 # (10k images x 4096 kp x 128-D fp32 would be ~20GB — stream those instead).
-_DEVICE_FEATURE_CACHE_BYTES = 4 << 30
+# 6GB admits the 10k x 1024-kp ladder corpus (5.2GB) on a 16GB-HBM chip; the
+# match stage's per-block working set is small and nothing else is live then.
+_DEVICE_FEATURE_CACHE_BYTES = 6 << 30
 
 
 @jax.jit
