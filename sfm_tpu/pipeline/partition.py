@@ -157,7 +157,20 @@ def partitioned_reconstruct(
         # final-polish schedule, applied to the merged model).
         for round_ in range(2):
             prob, cams, pids = build_problem(merged)
-            out, _ = dispatch_bundle_adjust(prob, cfg)
+            try:
+                out, _ = dispatch_bundle_adjust(prob, cfg)
+            except Exception as e:  # pragma: no cover - remote-compiler flake path
+                # The merged model is the product of hours of work; a failed
+                # final-polish compile (observed: remote tpu_compile_helper
+                # HTTP 500 at pod-scale shapes) must not discard it. Retry
+                # once, then ship the unpolished merge with a warning.
+                if cfg.verbose:
+                    print(f"[sfm_tpu] merged global BA failed ({type(e).__name__}); retrying once")
+                try:
+                    out, _ = dispatch_bundle_adjust(prob, cfg)
+                except Exception as e2:
+                    print(f"[sfm_tpu] WARNING: merged global BA skipped after retry: {e2}")
+                    break
             writeback(merged, out, cams, pids)
             dropped = filter_observations(merged, cfg.engine.max_reprojection_error_px)
             if cfg.verbose and dropped:
