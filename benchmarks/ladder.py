@@ -81,8 +81,10 @@ def main():
     reg = np.where(rec.registered)[0]
     rmse = float("nan")
     if len(reg) >= 3:
-        est = np.stack([np.asarray(camera_center(jnp.asarray(rec.rvecs[i]), jnp.asarray(rec.tvecs[i]))) for i in reg])
-        gt = np.stack([np.asarray(camera_center(jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]))) for i in reg])
+        # Batched: the per-camera eager-dispatch loop was 2 remote calls per
+        # registered camera (tens of minutes of pure link latency at 10k).
+        est = np.asarray(camera_center(jnp.asarray(rec.rvecs[reg]), jnp.asarray(rec.tvecs[reg])))
+        gt = np.asarray(camera_center(jnp.asarray(scene.rvecs[reg]), jnp.asarray(scene.tvecs[reg])))
         s, R, t = umeyama(jnp.asarray(est), jnp.asarray(gt))
         rmse = float(np.sqrt(((np.asarray(apply_sim3(s, R, t, jnp.asarray(est))) - gt) ** 2).sum(-1).mean()))
 

@@ -40,23 +40,10 @@ def apply_sim3_to_reconstruction(rec: Reconstruction, s: float, R: np.ndarray, t
     return rec
 
 
-def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, verbose: bool = False) -> Reconstruction:
-    """Align `other` into `base`'s frame via shared registered cameras AND
-    shared 3D points, then union points/observations with (image,
-    keypoint)-keyed dedup.
+def _obs_identity_match(base: Reconstruction, other: Reconstruction):
+    """(image, keypoint)-keyed observation match — geometry-free.
 
-    The overlap cameras alone are a short, nearly-collinear arc of the
-    capture path, so a camera-only Umeyama leaves a free rotation about that
-    arc — at pod scale the cluster chain accumulated that gauge slack into
-    global distortion. Shared tracks (matched by observation identity, which
-    needs no geometry) add volumetric correspondences that pin the rotation;
-    one trimmed re-fit drops gross outlier pairs."""
-    shared = np.where(base.registered & other.registered)[0]
-    if len(shared) < min_shared:
-        raise ValueError(f"only {len(shared)} shared cameras; need >= {min_shared}")
-
-    # Observation-identity match (image, keypoint) — geometry-free, so it can
-    # run BEFORE alignment and feed shared-point correspondences into it.
+    Returns (matched [O_other] bool, base_pid_of_row [O_other] int)."""
     kb = base.obs_image.astype(np.int64) << 32 | base.obs_kp.astype(np.int64)
     ko = other.obs_image.astype(np.int64) << 32 | other.obs_kp.astype(np.int64)
     order = np.argsort(kb, kind="stable")
@@ -65,8 +52,23 @@ def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, 
     pos_c = np.minimum(pos, len(kb_sorted) - 1) if len(kb_sorted) else np.zeros_like(pos)
     matched = (len(kb_sorted) > 0) & (kb_sorted[pos_c] == ko)
     base_pid_of_row = np.where(matched, base.obs_point[order[pos_c]], -1)
+    return matched, base_pid_of_row
 
-    # Shared-point pairs: rows whose tracks are valid on both sides.
+
+def relative_sim3(base: Reconstruction, other: Reconstruction, min_shared: int = 3):
+    """Trimmed sim3 aligning `other` into `base`'s frame: x_base = s R x + t.
+
+    Correspondences are shared registered camera centers PLUS shared 3D
+    points (tracks matched by observation identity). The overlap cameras
+    alone are a short, nearly-collinear arc of the capture path, so a
+    camera-only Umeyama leaves a free rotation about that arc; shared tracks
+    pin it. A 25%-trimmed re-fit drops wrongly-linked tracks. Returns
+    (s, R, t, support). Raises ValueError below min_shared cameras."""
+    shared = np.where(base.registered & other.registered)[0]
+    if len(shared) < min_shared:
+        raise ValueError(f"only {len(shared)} shared cameras; need >= {min_shared}")
+
+    matched, base_pid_of_row = _obs_identity_match(base, other)
     pair_rows = np.where(
         matched
         & other.point_valid[other.obs_point]
@@ -81,14 +83,26 @@ def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, 
     s, R, t = umeyama(jnp.asarray(src), jnp.asarray(dst))
     s, R, t = float(s), np.asarray(R), np.asarray(t)
     if len(src) > 2 * len(shared):
-        # Trimmed re-fit: drop the worst-residual 25% (wrongly-linked tracks
-        # or badly-triangulated points would otherwise skew the alignment).
         res = np.linalg.norm((s * src @ R.T + t) - dst, axis=1)
         keep = res <= np.quantile(res, 0.75)
         if keep.sum() >= 3:
             s, R, t = umeyama(jnp.asarray(src[keep]), jnp.asarray(dst[keep]))
             s, R, t = float(s), np.asarray(R), np.asarray(t)
-    other = apply_sim3_to_reconstruction(other, s, R, t)
+    return s, R, t, len(src)
+
+
+def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, verbose: bool = False,
+              align: bool = True) -> Reconstruction:
+    """Align `other` into `base`'s frame (see relative_sim3), then union
+    points/observations with (image, keypoint)-keyed dedup.
+
+    align=False skips the sim3 (the caller has already placed both models in
+    one frame, e.g. via synchronize_sim3)."""
+    if align:
+        s, R, t, _ = relative_sim3(base, other, min_shared)
+        other = apply_sim3_to_reconstruction(other, s, R, t)
+
+    matched, base_pid_of_row = _obs_identity_match(base, other)
 
     # Merged camera set: base wins on shared cameras.
     out = Reconstruction(**{**base.__dict__})
@@ -120,6 +134,7 @@ def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, 
     # Rows to append: valid-track rows whose key is not already in base.
     app = np.where(valid_row & ~matched & (linked | fresh)[other.obs_point])[0]
     # Guard against duplicate keys inside `other` itself (keep first).
+    ko = other.obs_image.astype(np.int64) << 32 | other.obs_kp.astype(np.int64)
     _, first_idx = np.unique(ko[app], return_index=True)
     app = app[np.sort(first_idx)]
 
@@ -133,23 +148,163 @@ def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, 
     return out
 
 
-def merge_reconstructions(recs: list[Reconstruction], cfg: PipelineConfig) -> Reconstruction:
-    """Merge clusters largest-first; clusters that never share enough cameras
-    with the merged set are retried after others have joined, then dropped."""
-    recs = sorted(recs, key=lambda r: -r.num_registered)
-    merged = recs[0]
-    pending = list(recs[1:])
-    progress = True
-    while pending and progress:
-        progress = False
-        still = []
-        for rec in pending:
+def _project_so3(M: np.ndarray) -> np.ndarray:
+    U, _, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    return R
+
+
+def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: bool = False):
+    """Global sim3 synchronization over the cluster-overlap graph.
+
+    Chaining pairwise alignments accumulates drift — at 19 clusters around a
+    closed capture loop the chained merge bent the ring by ~30% of its
+    radius while staying internally consistent (windowed BA cannot undo a
+    smooth global deformation). Reference-class large-scale SfM closes the
+    loop by estimating EVERY overlapping pair's relative sim3 and solving
+    one small synchronization problem over cluster frames (SURVEY.md §2.7
+    merge/alignment):
+
+      rotations:    R_j ~ R_i @ R_ij  — spanning-tree init + weighted
+                    chordal Gauss-Seidel sweeps with SO(3) projection;
+      log-scales:   log s_j - log s_i = log s_ij — linear LS on the graph;
+      translations: t_j - t_i = s_i R_i t_ij     — linear LS given (s, R).
+
+    Returns per-cluster (s_i, R_i, t_i) mapping cluster frames into the
+    anchor (largest cluster) frame, or None for clusters disconnected from
+    the anchor's component. The graph has as many nodes as clusters, so the
+    whole solve is microseconds of host linear algebra.
+    """
+    n = len(recs)
+    edges = []  # (i, j, s_ij, R_ij, t_ij, w): x_i = s_ij R_ij x_j + t_ij
+    for i in range(n):
+        for j in range(i + 1, n):
             try:
-                merged = merge_two(merged, rec, verbose=cfg.verbose)
-                progress = True
+                s, R, t, support = relative_sim3(recs[i], recs[j], min_shared)
             except ValueError:
-                still.append(rec)
-        pending = still
-    if pending and cfg.verbose:
-        print(f"[sfm_tpu] {len(pending)} cluster(s) could not be aligned (no shared cameras)")
+                continue
+            edges.append((i, j, s, R, t, float(support)))
+    if verbose:
+        print(f"[sfm_tpu] sim3 sync: {n} clusters, {len(edges)} overlap edges")
+
+    # Connected component of the anchor via the edge list.
+    adj = [[] for _ in range(n)]
+    for e_id, (i, j, *_rest) in enumerate(edges):
+        adj[i].append((j, e_id))
+        adj[j].append((i, e_id))
+    anchor = 0  # recs are sorted largest-first by the caller
+    comp = np.zeros(n, bool)
+    comp[anchor] = True
+    # Spanning-tree initialization of rotations/scales/translations.
+    s_g = np.ones(n)
+    R_g = np.tile(np.eye(3), (n, 1, 1))
+    t_g = np.zeros((n, 3))
+    stack = [anchor]
+    while stack:
+        i = stack.pop()
+        for j, e_id in adj[i]:
+            if comp[j]:
+                continue
+            comp[j] = True
+            ei, ej, s_ij, R_ij, t_ij, _w = edges[e_id]
+            if ei == i:  # x_i = s_ij R_ij x_j + t_ij  ->  T_j = T_i o M_ij
+                s_g[j] = s_g[i] * s_ij
+                R_g[j] = R_g[i] @ R_ij
+                t_g[j] = s_g[i] * R_g[i] @ t_ij + t_g[i]
+            else:        # inverse measurement
+                s_inv = 1.0 / s_ij
+                R_inv = R_ij.T
+                t_inv = -s_inv * R_inv @ t_ij
+                s_g[j] = s_g[i] * s_inv
+                R_g[j] = R_g[i] @ R_inv
+                t_g[j] = s_g[i] * R_g[i] @ t_inv + t_g[i]
+            stack.append(j)
+
+    in_edges = [(i, j, s, R, t, w) for (i, j, s, R, t, w) in edges if comp[i] and comp[j]]
+    if not in_edges:
+        return [( (1.0, np.eye(3), np.zeros(3)) if comp[i] else None) for i in range(n)]
+
+    # Rotation averaging: weighted chordal Gauss-Seidel.
+    for _ in range(8):
+        for node in range(n):
+            if node == anchor or not comp[node]:
+                continue
+            acc = np.zeros((3, 3))
+            for (i, j, _s, R_ij, _t, w) in in_edges:
+                if j == node:
+                    acc += w * (R_g[i] @ R_ij)
+                elif i == node:
+                    acc += w * (R_g[j] @ R_ij.T)
+            if np.abs(acc).sum() > 0:
+                R_g[node] = _project_so3(acc)
+
+    # Log-scale LS on the graph (anchor pinned to 0).
+    free = [i for i in range(n) if comp[i] and i != anchor]
+    col = {node: k for k, node in enumerate(free)}
+    if free:
+        A = np.zeros((len(in_edges), len(free)))
+        b = np.zeros(len(in_edges))
+        w_sqrt = np.sqrt([w for (*_x, w) in in_edges])
+        for r, (i, j, s_ij, _R, _t, w) in enumerate(in_edges):
+            # s_j = s_i * s_ij  ->  log s_j - log s_i = log s_ij
+            if j != anchor:
+                A[r, col[j]] += 1.0
+            if i != anchor:
+                A[r, col[i]] -= 1.0
+            b[r] = np.log(s_ij)
+        sol = np.linalg.lstsq(A * w_sqrt[:, None], b * w_sqrt, rcond=None)[0]
+        for node, k in col.items():
+            s_g[node] = np.exp(sol[k])
+
+        # Translation LS given (s, R): t_i - t_j = -s_j R_j inv? Derive from
+        # T_i = T_j o M_ji ... use the forward relation per edge:
+        # x_i = s_ij R_ij x_j + t_ij and T_i o that = T_j:
+        #   t_j = s_i R_i t_ij + t_i  ->  t_j - t_i = s_i R_i t_ij
+        A3 = np.zeros((3 * len(in_edges), 3 * len(free)))
+        b3 = np.zeros(3 * len(in_edges))
+        for r, (i, j, _s, _R, t_ij, w) in enumerate(in_edges):
+            rhs = s_g[i] * R_g[i] @ t_ij
+            sw = np.sqrt(w)
+            if j != anchor:
+                A3[3 * r: 3 * r + 3, 3 * col[j]: 3 * col[j] + 3] = sw * np.eye(3)
+            if i != anchor:
+                A3[3 * r: 3 * r + 3, 3 * col[i]: 3 * col[i] + 3] -= sw * np.eye(3)
+            b3[3 * r: 3 * r + 3] = sw * rhs
+        sol3 = np.linalg.lstsq(A3, b3, rcond=None)[0]
+        for node, k in col.items():
+            t_g[node] = sol3[3 * k: 3 * k + 3]
+
+    return [((float(s_g[i]), R_g[i], t_g[i]) if comp[i] else None) for i in range(n)]
+
+
+def merge_reconstructions(recs: list[Reconstruction], cfg: PipelineConfig) -> Reconstruction:
+    """Sim3-synchronize all clusters into the anchor frame (loop closure),
+    then fuse. Clusters disconnected from the anchor component are dropped
+    with a warning; 2-cluster merges skip the synchronization (the pairwise
+    alignment IS the global solution there)."""
+    recs = sorted(recs, key=lambda r: -r.num_registered)
+    if len(recs) == 1:
+        return recs[0]
+    if len(recs) == 2:
+        try:
+            return merge_two(recs[0], recs[1], verbose=cfg.verbose)
+        except ValueError:
+            if cfg.verbose:
+                print("[sfm_tpu] 1 cluster(s) could not be aligned (no shared cameras)")
+            return recs[0]
+
+    transforms = synchronize_sim3(recs, verbose=cfg.verbose)
+    merged = None
+    dropped = 0
+    for rec, tr in zip(recs, transforms):
+        if tr is None:
+            dropped += 1
+            continue
+        s, R, t = tr
+        placed = apply_sim3_to_reconstruction(rec, s, R, t)
+        merged = placed if merged is None else merge_two(merged, placed, align=False)
+    if dropped and cfg.verbose:
+        print(f"[sfm_tpu] {dropped} cluster(s) could not be aligned (no shared cameras)")
     return merged

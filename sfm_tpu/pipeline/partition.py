@@ -148,22 +148,34 @@ def partitioned_reconstruct(
     merged = merge_reconstructions(recs, cfg)
 
     if cfg.partition.merge_global_ba and merged.num_points > 4:
-        from sfm_tpu.ba import build_problem, dispatch_bundle_adjust, writeback
-        from sfm_tpu.scene.state import filter_observations
+        _merged_polish(merged, cfg)
+    return merged
 
-        # BA -> filter -> BA: sim3-chained clusters carry alignment drift and
-        # a few wrongly-linked cross-cluster tracks; one robust solve leaves
-        # those as gross outliers, so filter and re-solve (the engine's
-        # final-polish schedule, applied to the merged model).
+
+# Single-problem polish ceiling: BA executables at C<=2048 compile in tens
+# of seconds; C=4096 took the remote compiler >15 min and C~16k crashed it
+# outright. Above the ceiling the polish runs as overlapping camera-window
+# solves (block Gauss-Seidel), every window at a proven compile size.
+_POLISH_MAX_CAMERAS = 2048
+
+
+def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
+    """BA -> filter -> BA on the merged model (the engine's final-polish
+    schedule): sim3-chained clusters carry alignment drift and a few
+    wrongly-linked cross-cluster tracks; one robust solve leaves those as
+    gross outliers, so filter and re-solve."""
+    from sfm_tpu.ba import build_problem, dispatch_bundle_adjust, writeback
+    from sfm_tpu.scene.state import filter_observations
+
+    if merged.num_registered <= _POLISH_MAX_CAMERAS:
         for round_ in range(2):
             prob, cams, pids = build_problem(merged)
             try:
                 out, _ = dispatch_bundle_adjust(prob, cfg)
             except Exception as e:  # pragma: no cover - remote-compiler flake path
                 # The merged model is the product of hours of work; a failed
-                # final-polish compile (observed: remote tpu_compile_helper
-                # HTTP 500 at pod-scale shapes) must not discard it. Retry
-                # once, then ship the unpolished merge with a warning.
+                # final-polish compile must not discard it. Retry once, then
+                # ship the unpolished merge with a warning.
                 if cfg.verbose:
                     print(f"[sfm_tpu] merged global BA failed ({type(e).__name__}); retrying once")
                 try:
@@ -177,4 +189,35 @@ def partitioned_reconstruct(
                 print(f"[sfm_tpu] merge polish {round_}: dropped {dropped} outlier obs")
             if dropped == 0:
                 break
-    return merged
+        return
+
+    # Pod-scale polish: 50%-overlapping windows of registered cameras, each
+    # window a C<=2048 problem; cameras already polished this sweep are held
+    # fixed in later windows so the solution stitches instead of re-gauging.
+    # Window order is image-id order, which follows capture/cluster locality
+    # for sequential datasets; two sweeps propagate corrections both ways
+    # around loops.
+    for sweep in range(2):
+        reg = np.where(merged.registered)[0]
+        polished = np.zeros(len(merged.registered), bool)
+        step = _POLISH_MAX_CAMERAS // 2
+        for s in range(0, len(reg), step):
+            window = reg[s: s + _POLISH_MAX_CAMERAS]
+            if len(window) < 16:
+                continue
+            anchored = polished[window]
+            free = window[~anchored] if anchored.any() else None
+            if free is not None and len(free) == 0:
+                continue
+            prob, cams, pids = build_problem(merged, cam_indices=window, free_cams=free)
+            try:
+                out, _ = dispatch_bundle_adjust(prob, cfg)
+            except Exception as e:  # pragma: no cover
+                print(f"[sfm_tpu] WARNING: polish window {s // step} skipped: {type(e).__name__}")
+                continue
+            writeback(merged, out, cams, pids)
+            polished[window] = True
+        dropped = filter_observations(merged, cfg.engine.max_reprojection_error_px)
+        if cfg.verbose:
+            print(f"[sfm_tpu] windowed merge polish sweep {sweep}: "
+                  f"{(len(reg) + step - 1) // step} windows, dropped {dropped} outlier obs")

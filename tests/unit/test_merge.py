@@ -61,3 +61,44 @@ def test_merge_requires_shared_cameras():
     b.registered[6:] = True  # zero overlap
     with pytest.raises(ValueError):
         merge_two(a, b)
+
+
+def test_synchronize_sim3_closes_the_loop():
+    """Four overlapping arcs around a full orbit, each perturbed by a random
+    sim3: synchronization must place every cluster back so the fused model
+    reprojects like the original (a chained pairwise merge accumulates
+    drift; the sync solves all frames jointly with the loop edge included)."""
+    from sfm_tpu.pipeline.merge import synchronize_sim3
+
+    scene = make_orbit_scene(num_cameras=24, num_points=120, noise_px=0.0, seed=33)
+
+    def restrict(cams):
+        rec = scene_to_reconstruction(scene)
+        keep_cam = np.zeros(scene.num_cameras, bool)
+        keep_cam[np.asarray(cams) % scene.num_cameras] = True
+        rec.registered = keep_cam
+        sel = keep_cam[rec.obs_image]
+        rec.obs_point, rec.obs_image = rec.obs_point[sel], rec.obs_image[sel]
+        rec.obs_kp, rec.obs_uv = rec.obs_kp[sel], rec.obs_uv[sel]
+        counts = np.bincount(rec.obs_point, minlength=len(rec.points))
+        rec.point_valid = counts >= 2
+        return rec
+
+    rng = np.random.default_rng(5)
+    arcs = [list(range(0, 9)), list(range(6, 15)), list(range(12, 21)), list(range(18, 27))]
+    recs = []
+    for arc in arcs:
+        rec = restrict(arc)
+        s = float(rng.uniform(0.5, 2.0))
+        R = _np_rodrigues(rng.normal(0, 0.3, 3))
+        t = rng.normal(0, 2.0, 3)
+        recs.append(apply_sim3_to_reconstruction(rec, s, R, t))
+
+    cfg = PipelineConfig()
+    merged = merge_reconstructions(recs, cfg)
+    assert merged.num_registered == 24
+    assert merged.mean_reprojection_error() < 0.1
+
+    # And the sync utility reports a transform for every (connected) cluster.
+    transforms = synchronize_sim3(sorted(recs, key=lambda r: -r.num_registered))
+    assert all(tr is not None for tr in transforms)
