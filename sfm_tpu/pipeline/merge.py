@@ -40,6 +40,9 @@ def apply_sim3_to_reconstruction(rec: Reconstruction, s: float, R: np.ndarray, t
     return rec
 
 
+_MIN_SHARED_POINTS = 16  # track-only alignment support threshold
+
+
 def _obs_identity_match(base: Reconstruction, other: Reconstruction):
     """(image, keypoint)-keyed observation match — geometry-free.
 
@@ -63,10 +66,12 @@ def relative_sim3(base: Reconstruction, other: Reconstruction, min_shared: int =
     alone are a short, nearly-collinear arc of the capture path, so a
     camera-only Umeyama leaves a free rotation about that arc; shared tracks
     pin it. A 25%-trimmed re-fit drops wrongly-linked tracks. Returns
-    (s, R, t, support). Raises ValueError below min_shared cameras."""
+    (s, R, t, support). Raises ValueError when the pair shares neither
+    min_shared cameras nor _MIN_SHARED_POINTS tracks — a pair CAN be aligned
+    on shared tracks alone (long tracks cross cluster seams even where the
+    seam cameras failed to register; without those edges a closed capture
+    loop synchronizes as a tree and keeps its drift)."""
     shared = np.where(base.registered & other.registered)[0]
-    if len(shared) < min_shared:
-        raise ValueError(f"only {len(shared)} shared cameras; need >= {min_shared}")
 
     matched, base_pid_of_row = _obs_identity_match(base, other)
     pair_rows = np.where(
@@ -77,6 +82,10 @@ def relative_sim3(base: Reconstruction, other: Reconstruction, min_shared: int =
     pid_pairs = np.unique(
         np.stack([other.obs_point[pair_rows], base_pid_of_row[pair_rows]], axis=1), axis=0
     ) if len(pair_rows) else np.zeros((0, 2), np.int64)
+    if len(shared) < min_shared and len(pid_pairs) < _MIN_SHARED_POINTS:
+        raise ValueError(
+            f"only {len(shared)} shared cameras and {len(pid_pairs)} shared tracks"
+        )
 
     src = np.concatenate([_centers(other, shared), other.points[pid_pairs[:, 0]]])
     dst = np.concatenate([_centers(base, shared), base.points[pid_pairs[:, 1]]])
