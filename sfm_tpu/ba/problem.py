@@ -35,6 +35,13 @@ class BAProblem:
     straddles a multiple of point_align — the contract the fused Pallas
     Schur-matvec kernel (kernels/schur_spmv.py) needs to reduce point
     segments tile-locally. jit specializes on it automatically.
+
+    Tail exception: the zero-weight padding rows from O_aligned to O_cap
+    (point id P_cap - 1) are EXEMPT from the certificate and may straddle
+    tile boundaries. They are harmless to the current kernels because their
+    obs_w = 0 zeroes every contribution and their tile-local id overflows
+    the [T, T] one-hot; a future kernel that relies on the certificate for
+    nonzero work must mask by obs_w, not by segment geometry alone.
     """
 
     cam_params: jnp.ndarray   # [C, 6] rvec + tvec

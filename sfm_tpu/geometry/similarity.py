@@ -37,3 +37,32 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray | None = None):
 
 def apply_sim3(s, R, t, x: jnp.ndarray) -> jnp.ndarray:
     return s * x @ R.T + t
+
+
+def umeyama_np(src, dst, w=None):
+    """Host-numpy umeyama (same math as `umeyama`).
+
+    The cluster-merge path (pipeline/merge.py) calls this O(n_clusters^2)
+    times on small host arrays of pair-specific length; routing those
+    through the device would cost a 20-40s remote compile per fresh shape
+    on the Axon backend (NOTES.md gotcha 3) or an eager round-trip per op,
+    so the merge solves stay on host."""
+    import numpy as np
+
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    w = np.ones(len(src)) if w is None else np.asarray(w, np.float64)
+    wsum = max(float(w.sum()), 1e-12)
+    mu_s = (src * w[:, None]).sum(0) / wsum
+    mu_d = (dst * w[:, None]).sum(0) / wsum
+    sc, dc = src - mu_s, dst - mu_d
+    cov = (dc * w[:, None]).T @ sc / wsum
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_s = float((w[:, None] * sc * sc).sum()) / wsum
+    s = float((D * np.diag(S)).sum()) / max(var_s, 1e-12)
+    t = mu_d - s * R @ mu_s
+    return s, R, t

@@ -172,7 +172,16 @@ def verify_pair(
     # pure rotation) and pose_ok=False so bootstrap ranking and guided
     # matching skip it.
     rot_only = planar & (n_h >= cfg.min_inliers) & ~ok_h_pose
-    U_r, _, Vt_r = jnp.linalg.svd(Hn)
+    # Sign-normalize Hn before the polar factor: H is only defined up to
+    # scale INCLUDING sign, and for pans past 90 deg the det-corrected polar
+    # factor of -Hn lands ~180 deg off. The sign of x2_h . (Hn x1_h) over
+    # the matches recovers the projective-scale sign (positive for a true
+    # point map in front of both cameras).
+    x1_h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    x2_h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    h_dot = jnp.sum(mask * jnp.sum(x2_h * (x1_h @ Hn.T), axis=-1))
+    Hn_signed = Hn * jnp.where(h_dot < 0, -1.0, 1.0)
+    U_r, _, Vt_r = jnp.linalg.svd(Hn_signed)
     det_r = jnp.linalg.det(U_r @ Vt_r)
     R_rot = U_r @ jnp.diag(jnp.stack([jnp.ones_like(det_r), jnp.ones_like(det_r), det_r])) @ Vt_r
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from sfm_tpu.config import PipelineConfig
 from sfm_tpu.geometry.projection import camera_center
 from sfm_tpu.geometry.rotations import so3_exp, matrix_to_aa
-from sfm_tpu.geometry.similarity import umeyama
+from sfm_tpu.geometry.similarity import umeyama_np
 from sfm_tpu.scene.state import Reconstruction
 
 
@@ -89,14 +89,14 @@ def relative_sim3(base: Reconstruction, other: Reconstruction, min_shared: int =
 
     src = np.concatenate([_centers(other, shared), other.points[pid_pairs[:, 0]]])
     dst = np.concatenate([_centers(base, shared), base.points[pid_pairs[:, 1]]])
-    s, R, t = umeyama(jnp.asarray(src), jnp.asarray(dst))
-    s, R, t = float(s), np.asarray(R), np.asarray(t)
+    # Host-numpy solve: this runs O(n_clusters^2) times with pair-specific
+    # correspondence counts — device dispatch would pay per-shape compiles.
+    s, R, t = umeyama_np(src, dst)
     if len(src) > 2 * len(shared):
         res = np.linalg.norm((s * src @ R.T + t) - dst, axis=1)
         keep = res <= np.quantile(res, 0.75)
         if keep.sum() >= 3:
-            s, R, t = umeyama(jnp.asarray(src[keep]), jnp.asarray(dst[keep]))
-            s, R, t = float(s), np.asarray(R), np.asarray(t)
+            s, R, t = umeyama_np(src[keep], dst[keep])
     return s, R, t, len(src)
 
 

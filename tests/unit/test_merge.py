@@ -51,16 +51,51 @@ def test_merge_two_overlapping_halves():
     assert len(keys) == merged.num_observations
 
 
-def test_merge_requires_shared_cameras():
+def test_merge_requires_shared_cameras_or_tracks():
+    """merge_two raises only when the pair shares NEITHER cameras NOR tracks.
+
+    Both reconstructions come from the same scene, so their tracks would
+    match by (image, kp) identity; shifting b's keypoint ids severs that
+    link, leaving genuinely nothing to align on."""
     scene = make_orbit_scene(num_cameras=8, num_points=40, seed=32)
     a = scene_to_reconstruction(scene)
     b = scene_to_reconstruction(scene)
     a.registered[:] = False
     a.registered[:4] = True
     b.registered[:] = False
-    b.registered[6:] = True  # zero overlap
+    b.registered[6:] = True  # zero camera overlap
+    b.obs_kp = b.obs_kp + 100_000  # zero track overlap
     with pytest.raises(ValueError):
         merge_two(a, b)
+
+
+def test_merge_track_only_alignment():
+    """Zero shared cameras but >=16 shared tracks: the sim3 aligns on track
+    identity alone (long tracks cross cluster seams even where the seam
+    cameras failed to register — merge.py relative_sim3)."""
+    scene = make_orbit_scene(num_cameras=8, num_points=60, noise_px=0.0, seed=32)
+    a = scene_to_reconstruction(scene)
+    b = scene_to_reconstruction(scene)
+    a.registered[:] = False
+    a.registered[:4] = True
+    b.registered[:] = False
+    b.registered[6:] = True  # zero shared REGISTERED cameras
+    # a: observations of cams 0-3. b: registered cams 6-7 plus the seam
+    # images 2-3 whose obs rows survive (their cameras failed to register in
+    # b) — those rows carry the (image, kp) identities that link tracks.
+    keeps = [a.registered, b.registered.copy()]
+    keeps[1][2:4] = True
+    for rec, keep in zip((a, b), keeps):
+        sel = keep[rec.obs_image]
+        rec.obs_point, rec.obs_image = rec.obs_point[sel], rec.obs_image[sel]
+        rec.obs_kp, rec.obs_uv = rec.obs_kp[sel], rec.obs_uv[sel]
+        counts = np.bincount(rec.obs_point, minlength=len(rec.points))
+        rec.point_valid = counts >= 2
+    b = apply_sim3_to_reconstruction(
+        b, 1.7, _np_rodrigues(np.array([0.1, 0.4, -0.2])), np.array([2.0, -1.0, 0.5]))
+    merged = merge_two(a, b)
+    assert merged.num_registered == 6
+    assert merged.mean_reprojection_error() < 0.1
 
 
 def test_synchronize_sim3_closes_the_loop():
