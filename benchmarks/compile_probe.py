@@ -20,8 +20,8 @@ from sfm_tpu.config import BAConfig
 from sfm_tpu.ba.problem import BAProblem
 
 
-def make_problem(C, obs_per_cam=100):
-    P = C * 8
+def make_problem(C, obs_per_cam=100, pts_per_cam=8):
+    P = C * pts_per_cam
     O = C * obs_per_cam
     O = -(-O // 1024) * 1024
     rng = np.random.default_rng(0)
@@ -51,13 +51,36 @@ def time_compile(label, fn, *args):
 
 
 def main():
+    import os
+
     pieces = sys.argv[1:] or ["full", "inv", "ne", "pcg"]
     from sfm_tpu.ba import core
 
-    cfg = BAConfig(max_iterations=4, cg_iterations=8, dense_schur_max_cameras=0)
-    for C in (512, 1024, 2048, 4096):
-        print(f"C={C}")
-        prob = make_problem(C)
+    cg = int(os.environ.get("PROBE_CG", "8"))
+    opc = int(os.environ.get("PROBE_OBS_PER_CAM", "100"))
+    lm_iters = int(os.environ.get("PROBE_LM", "4"))
+    cams = [int(c) for c in os.environ.get("PROBE_C", "512,1024,2048,4096").split(",")]
+    cfg = BAConfig(max_iterations=lm_iters, cg_iterations=cg, dense_schur_max_cameras=0)
+    for C in cams:
+        prob = make_problem(C, obs_per_cam=opc)
+        print(f"C={C} O={prob.obs_w.shape[0]} P={prob.points.shape[0]}")
+        if "run" in pieces:
+            fn = jax.jit(lambda p, cfg=cfg: core.bundle_adjust_impl(p, cfg))
+            t0 = time.time()
+            out, stats = fn(prob)
+            np.asarray(out.cam_params)  # host-force (Axon memoizes + pipelines)
+            t1 = time.time()
+            # Fresh inputs: the Axon runtime memoizes identical (executable,
+            # inputs) calls (NOTES.md gotcha 2).
+            prob2 = prob._replace(cam_params=prob.cam_params + 1e-4)
+            t2 = time.time()
+            out, stats = fn(prob2)
+            np.asarray(out.cam_params)
+            t3 = time.time()
+            it = int(stats.iterations)
+            print(f"  full LM run: compile+1st {t1-t0:.1f}s, fresh 2nd {t3-t2:.2f}s "
+                  f"({it} iters, {it/max(t3-t2,1e-9):.1f} iters/s, "
+                  f"cost {float(stats.initial_cost):.4f}->{float(stats.final_cost):.4f})")
         if "inv" in pieces:
             M = jnp.tile(jnp.eye(6)[None], (C, 1, 1))
             time_compile("linalg.inv [C,6,6]", jnp.linalg.inv, M)

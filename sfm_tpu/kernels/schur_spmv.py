@@ -48,12 +48,9 @@ def _rot_cols(wx, wy, wz, a, b):
     )
 
 
-def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
-                     camt_ref, intrt_ref, w_out_ref, yp_out_ref, camred_ref, acc_ref):
-    """One observation tile: closed-form residual + Jacobian blocks entirely
-    in VMEM, camera-side normal-equation payloads reduced on the MXU via the
-    one-hot trick, point-side payloads emitted compactly ([O,16] instead of
-    the [O,6,6]+[O,3,3]+[O,6,3]+... materialization the XLA path writes).
+def _ne_tile_rows(robust_loss, robust_scale, cams, intr, pts, st):
+    """Shared fused-NE tile body: closed-form residual + Jacobian payload
+    rows for one observation tile, all inputs feature-major [rows, T].
 
     Mirrors ba/core._residual_jac_analytic exactly (equality-tested); the
     d(R p)/d rvec term uses the closed-form SO(3) right Jacobian
@@ -61,27 +58,13 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
 
     Layout: every per-observation scalar lives as a [1, T] ROW vector (lanes
     = observations); a [T, 1] column layout pads each scalar to 128 lanes
-    and blows the VMEM budget ~128x. All I/O is therefore transposed:
-    misc/cam/intr tables come in feature-major, W/Yp go out feature-major.
+    and blows the VMEM budget ~128x.
+
+    Returns (cam_rows: 42 x [1,T] — vec(Jc^T Jc) then -Jc^T r,
+             w_rows: 18 x [1,T] — vec(W),
+             yp_rows: 9 x [1,T] — sym(Jp^T Jp) then -Jp^T r).
     """
     from sfm_tpu.geometry.losses import robust_weight
-
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    T = ids_ref.shape[1]
-    C = acc_ref.shape[1]
-    ids = ids_ref[:]                                           # [1, T]
-    onehot_t = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.float32)
-    cams = jax.lax.dot_general(                                # [8, T]
-        camt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    intr = jax.lax.dot_general(                                # [8, T]
-        intrt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
 
     def col(arr, i):
         return arr[i:i + 1, :]                                 # [1, T]
@@ -89,9 +72,7 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
     wx, wy, wz = col(cams, 0), col(cams, 1), col(cams, 2)
     tx, ty, tz = col(cams, 3), col(cams, 4), col(cams, 5)
     fx, fy, cx, cy, k1, k2 = (col(intr, i) for i in range(6))
-    pts = pts_ref[:]                                           # [4, T]
     px, py, pz = col(pts, 0), col(pts, 1), col(pts, 2)
-    st = static_ref[:]                                         # [8, T]
     u_obs, v_obs = col(st, 0), col(st, 1)
     w_obs, cam_free, pt_free = col(st, 2), col(st, 3), col(st, 4)
 
@@ -169,11 +150,53 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
     p0 = [c * swp for c in jp_row0]
     p1 = [c * swp for c in jp_row1]
 
-    # Camera payload: vec(Jc^T Jc) (36) then -Jc^T r (6), zero-padded to 48.
+    # Camera payload: vec(Jc^T Jc) (36) then -Jc^T r (6).
     cam_rows = [a[i] * a[j] + b[i] * b[j] for i in range(6) for j in range(6)]
     cam_rows += [-(a[i] * ru_w + b[i] * rv_w) for i in range(6)]
-    cam_rows += [jnp.zeros_like(ru)] * (_CAMRED_COLS - len(cam_rows))
-    payload_t = jnp.concatenate(cam_rows, axis=0)              # [48, T]
+    # W = Jc^T Jp, row-major 6x3 = 18 rows, feature-major.
+    w_rows = [a[i] * p0[j] + b[i] * p1[j] for i in range(6) for j in range(3)]
+    # Point payload: sym(Jp^T Jp) (00,01,02,11,12,22) then -Jp^T r.
+    yp_rows = [
+        p0[0] * p0[0] + p1[0] * p1[0], p0[0] * p0[1] + p1[0] * p1[1],
+        p0[0] * p0[2] + p1[0] * p1[2], p0[1] * p0[1] + p1[1] * p1[1],
+        p0[1] * p0[2] + p1[1] * p1[2], p0[2] * p0[2] + p1[2] * p1[2],
+    ]
+    yp_rows += [-(p0[j] * ru_w + p1[j] * rv_w) for j in range(3)]
+    return cam_rows, w_rows, yp_rows
+
+
+def _pad_rows(rows, total, like):
+    rows = rows + [jnp.zeros_like(like)] * (total - len(rows))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
+                     camt_ref, intrt_ref, w_out_ref, yp_out_ref, camred_ref, acc_ref):
+    """One observation tile with in-kernel camera handling (C <= _MAX_CAMS):
+    camera/intrinsic rows are gathered via the [C, T] one-hot on the MXU and
+    the camera payload is reduced straight into the [48, C] VMEM accumulator
+    — it never touches HBM. See _ne_tile_rows for the math."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    C = acc_ref.shape[1]
+    T = ids_ref.shape[1]
+    ids = ids_ref[:]                                           # [1, T]
+    onehot_t = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.float32)
+    cams = jax.lax.dot_general(                                # [8, T]
+        camt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    intr = jax.lax.dot_general(                                # [8, T]
+        intrt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cam_rows, w_rows, yp_rows = _ne_tile_rows(
+        robust_loss, robust_scale, cams, intr, pts_ref[:], static_ref[:]
+    )
+    like = cam_rows[0]
+    payload_t = _pad_rows(cam_rows, _CAMRED_COLS, like)        # [48, T]
     acc_ref[:] += jax.lax.dot_general(                         # [48, C]
         payload_t, onehot_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -182,20 +205,26 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
     def _():
         camred_ref[:] = acc_ref[:]
 
-    # W = Jc^T Jp (row-major 6x3 = 18 rows, zero-padded to 24), feature-major.
-    w_rows = [a[i] * p0[j] + b[i] * p1[j] for i in range(6) for j in range(3)]
-    w_rows += [jnp.zeros_like(ru)] * (_W_COLS - len(w_rows))
-    w_out_ref[:] = jnp.concatenate(w_rows, axis=0)
+    w_out_ref[:] = _pad_rows(w_rows, _W_COLS, like)
+    yp_out_ref[:] = _pad_rows(yp_rows, _YP_COLS, like)
 
-    # Point payload: sym(Jp^T Jp) (00,01,02,11,12,22) then -Jp^T r.
-    yp_rows = [
-        p0[0] * p0[0] + p1[0] * p1[0], p0[0] * p0[1] + p1[0] * p1[1],
-        p0[0] * p0[2] + p1[0] * p1[2], p0[1] * p0[1] + p1[1] * p1[1],
-        p0[1] * p0[2] + p1[1] * p1[2], p0[2] * p0[2] + p1[2] * p1[2],
-    ]
-    yp_rows += [-(p0[j] * ru_w + p1[j] * rv_w) for j in range(3)]
-    yp_rows += [jnp.zeros_like(ru)] * (_YP_COLS - len(yp_rows))
-    yp_out_ref[:] = jnp.concatenate(yp_rows, axis=0)
+
+def _fused_ne_kernel_big(robust_loss, robust_scale, pts_ref, static_ref,
+                         cams_ref, intr_ref, w_out_ref, yp_out_ref, cam_out_ref):
+    """Large-C variant: no [C, T] one-hot fits in VMEM past ~2048 cameras,
+    so camera/intrinsic rows arrive PRE-GATHERED per observation (an XLA
+    gather outside the kernel — gathers parallelize fine on TPU; it is the
+    scatter-ADD that serializes) and the camera payload is emitted
+    feature-major [48, O] for the caller's camera-sorted scatter-free
+    reduction (ba/core._cam_reduce_sorted). C never appears in a kernel
+    shape, so this lowers identically at C = 10^4 or 10^6."""
+    cam_rows, w_rows, yp_rows = _ne_tile_rows(
+        robust_loss, robust_scale, cams_ref[:], intr_ref[:], pts_ref[:], static_ref[:]
+    )
+    like = cam_rows[0]
+    cam_out_ref[:] = _pad_rows(cam_rows, _CAMRED_COLS, like)
+    w_out_ref[:] = _pad_rows(w_rows, _W_COLS, like)
+    yp_out_ref[:] = _pad_rows(yp_rows, _YP_COLS, like)
 
 
 @partial(jax.jit, static_argnames=("num_cameras", "robust_loss", "robust_scale", "interpret"))

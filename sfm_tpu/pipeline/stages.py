@@ -252,6 +252,29 @@ def match_and_verify_stage(
     P = cfg.match.block_pairs
     M = cfg.match.max_matches
 
+    # Multi-chip: shard the PAIR axis of every block across the mesh
+    # (SURVEY.md §2.9 DP-over-pairs). Unlike the ring matcher this serves
+    # ANY candidate list — in particular the vocab-tree-pruned pair set,
+    # the realistic pod-scale matching workload. The per-pair compute is
+    # vmapped and independent, so the SPMD partitioning is exact: inputs
+    # are committed to a pair-sharded layout and jit's partitioner splits
+    # match/verify across chips with no collectives inside the block.
+    pair_sharding = None
+    if cfg.shard.num_devices > 1 and jax.device_count() >= cfg.shard.num_devices:
+        from jax.sharding import NamedSharding, PartitionSpec as Psp
+
+        from sfm_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(cfg.shard.num_devices, cfg.shard.mesh_axis)
+        pair_sharding = NamedSharding(mesh, Psp(cfg.shard.mesh_axis))
+        replicated = NamedSharding(mesh, Psp())
+        P = -(-P // cfg.shard.num_devices) * cfg.shard.num_devices
+
+    def _shard_pairs(*arrays):
+        if pair_sharding is None:
+            return arrays
+        return tuple(jax.device_put(a, pair_sharding) for a in arrays)
+
     out_idx_i = np.zeros((E, M), np.int32)
     out_idx_j = np.zeros((E, M), np.int32)
     out_inlier = np.zeros((E, M), bool)
@@ -284,6 +307,13 @@ def match_and_verify_stage(
         valid_all = jnp.asarray(feats.valid)
         xy_all = jnp.asarray(feats.xy)
         intr_all = jnp.asarray(intrinsics.astype(np.float32))
+        if pair_sharding is not None:
+            # Replicate the feature cache so per-chip gathers of sharded
+            # pair indices produce pair-sharded blocks without resharding.
+            desc_all, valid_all, xy_all, intr_all = (
+                jax.device_put(a, replicated)
+                for a in (desc_all, valid_all, xy_all, intr_all)
+            )
 
     base_key = jax.random.PRNGKey(seed)
     for s in range(0, E, P):
@@ -293,36 +323,37 @@ def match_and_verify_stage(
         if pad:
             blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1))])
         if on_device:
-            bi = jnp.asarray(blk[:, 0])
-            bj = jnp.asarray(blk[:, 1])
+            bi, bj = _shard_pairs(jnp.asarray(blk[:, 0]), jnp.asarray(blk[:, 1]))
             di, vi = desc_all[bi], valid_all[bi]
             dj, vj = desc_all[bj], valid_all[bj]
             xy_i, xy_j = xy_all[bi], xy_all[bj]
             intr_i, intr_j = intr_all[bi], intr_all[bj]
         else:
-            di = jnp.asarray(feats.desc[blk[:, 0]])
-            vi = jnp.asarray(feats.valid[blk[:, 0]])
-            dj = jnp.asarray(feats.desc[blk[:, 1]])
-            vj = jnp.asarray(feats.valid[blk[:, 1]])
-            xy_i = jnp.asarray(feats.xy[blk[:, 0]])
-            xy_j = jnp.asarray(feats.xy[blk[:, 1]])
-            intr_i = jnp.asarray(intrinsics[blk[:, 0]])
-            intr_j = jnp.asarray(intrinsics[blk[:, 1]])
+            di, vi, dj, vj, xy_i, xy_j, intr_i, intr_j = _shard_pairs(
+                jnp.asarray(feats.desc[blk[:, 0]]),
+                jnp.asarray(feats.valid[blk[:, 0]]),
+                jnp.asarray(feats.desc[blk[:, 1]]),
+                jnp.asarray(feats.valid[blk[:, 1]]),
+                jnp.asarray(feats.xy[blk[:, 0]]),
+                jnp.asarray(feats.xy[blk[:, 1]]),
+                jnp.asarray(intrinsics[blk[:, 0]]),
+                jnp.asarray(intrinsics[blk[:, 1]]),
+            )
         if prematched is not None:
             pi, pj, pv = prematched
             pad_rows = np.tile(np.arange(s, e)[-1:], max(P - (e - s), 0))
             rows = np.concatenate([np.arange(s, e), pad_rows])
-            pm = PairMatches(
-                idx_i=jnp.asarray(pi[rows]), idx_j=jnp.asarray(pj[rows]),
-                valid=jnp.asarray(pv[rows]),
-            )
+            pm = PairMatches(*_shard_pairs(
+                jnp.asarray(pi[rows]), jnp.asarray(pj[rows]), jnp.asarray(pv[rows]),
+            ))
         else:
             pm = match_block(di, vi, dj, vj, cfg.match)
 
         uv_i = _gather_uv(xy_i, pm.idx_i)
         uv_j = _gather_uv(xy_j, pm.idx_j)
         # Deterministic per-pair keys from the global pair index (SURVEY.md §5.2).
-        keys = jax.vmap(lambda t: jax.random.fold_in(base_key, t))(jnp.arange(s, s + P))
+        (tix,) = _shard_pairs(jnp.arange(s, s + P))
+        keys = jax.vmap(lambda t: jax.random.fold_in(base_key, t))(tix)
         geom = verify_block(keys, uv_i, uv_j, pm.valid, intr_i, intr_j, cfg.ransac)
         if cfg.match.guided:
             # Guided re-match (SURVEY.md §2.4): densify verified edges with
