@@ -186,6 +186,24 @@ class _NormalEq(NamedTuple):
     hinv_t: jnp.ndarray | None = None   # [9, O] per-obs Hpp_inv, feature-major
     lids: jnp.ndarray | None = None     # [O] tile-local point ids
     mv_tile: int = 0
+    # Large-C (C > kernels' one-hot cap) camera-sorted reduction views:
+    # obs permutation that sorts by camera + [C+1] segment offsets.
+    cam_perm: jnp.ndarray | None = None
+    cam_bounds: jnp.ndarray | None = None
+    mv_big_tile: int = 0
+
+
+def _cam_reduce_sorted(values: jnp.ndarray, perm: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
+    """Observation->camera reduction via a precomputed camera-sorted
+    permutation + prefix sums — the large-C replacement for both the XLA
+    scatter-add (serializes on TPU) and the kernels' MXU one-hot (whose
+    [C, T] tile exceeds VMEM past ~2048 cameras). One gather + one cumsum,
+    both parallel; fp32 prefix-sum cancellation matches the point-side
+    sorted reduction's documented ~1e-7*sqrt(O) relative bound."""
+    v_sorted = values[perm]
+    zeros = jnp.zeros_like(v_sorted[:1])
+    cs = jnp.concatenate([zeros, jnp.cumsum(v_sorted, axis=0)], axis=0)
+    return cs[bounds[1:]] - cs[bounds[:-1]]
 
 
 def _point_reduce(values: jnp.ndarray, prob: BAProblem, bounds, axis_name) -> jnp.ndarray:
@@ -240,6 +258,22 @@ def _use_fused_ne(prob: BAProblem, cam_params, axis_name) -> bool:
         and cam_params.shape[-1] == CAM_DIM
         and prob.num_cameras <= schur_spmv._MAX_CAMS
         and (O % 1024 == 0 or O <= schur_spmv._TILE_OBS)  # tile divisibility
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _use_fused_ne_big(prob: BAProblem, cam_params, axis_name) -> bool:
+    """Large-C gate (C past the one-hot kernels' VMEM cap): pre-gathered
+    camera rows + camera-sorted reductions — the C=4k..16k regime of the
+    Rome16K-scale merged polish (VERDICT r2 weak #3)."""
+    from sfm_tpu.kernels import schur_spmv
+
+    O = prob.obs_w.shape[0]
+    return (
+        axis_name is None
+        and cam_params.shape[-1] == CAM_DIM
+        and prob.num_cameras > schur_spmv._MAX_CAMS
+        and O % 1024 == 0
         and jax.default_backend() == "tpu"
     )
 
@@ -303,6 +337,43 @@ def _ne_blocks_fused(prob: BAProblem, cam_params, points, cfg: BAConfig,
     return Hcc, Hpp, W_t, bc, bp
 
 
+def _ne_blocks_fused_big(prob: BAProblem, cam_params, points, cfg: BAConfig,
+                         inv: "_SolveInvariants"):
+    """Large-C fused NE: the kernel emits per-observation payloads (W_t,
+    point payload, camera payload) with no C-shaped VMEM tile; the camera
+    side reduces through the camera-sorted prefix-sum view. Same math as
+    _ne_blocks_fused (equality-tested)."""
+    from sfm_tpu.kernels.schur_spmv import fused_ne_payloads_big
+
+    C = prob.num_cameras
+    P = prob.num_points
+    O = prob.obs_w.shape[0]
+    static_t = inv.static_t if inv.static_t is not None else _ne_static_misc(prob)
+    pts_t = jnp.concatenate(
+        [jnp.take(points.T, prob.obs_point, axis=1), jnp.zeros((1, O), jnp.float32)],
+        axis=0,
+    )
+    pad = jnp.zeros((C, 2), jnp.float32)
+    cams_t = jnp.concatenate([cam_params, pad], axis=1).T[:, prob.obs_cam]   # [8, O]
+    intr_t = jnp.concatenate([prob.intrinsics, pad], axis=1).T[:, prob.obs_cam]
+    Wf_t, Yp_t, cam_pay = fused_ne_payloads_big(
+        pts_t, static_t, cams_t, intr_t, cfg.robust_loss, cfg.robust_scale_px,
+    )
+    camred = _cam_reduce_sorted(cam_pay[:42].T, inv.cam_perm, inv.cam_bounds)  # [C, 42]
+    Hcc = camred[:, :36].reshape(C, 6, 6)
+    bc = camred[:, 36:42]
+    W_t = Wf_t[:18]
+    red = jax.ops.segment_sum(Yp_t[:9].T, prob.obs_point, P)    # sorted by point
+    s6 = [red[:, k] for k in range(6)]
+    Hpp = jnp.stack(
+        [jnp.stack([s6[0], s6[1], s6[2]], -1),
+         jnp.stack([s6[1], s6[3], s6[4]], -1),
+         jnp.stack([s6[2], s6[4], s6[5]], -1)], -2
+    )
+    bp = red[:, 6:9]
+    return Hcc, Hpp, W_t, bc, bp
+
+
 class _SolveInvariants(NamedTuple):
     """LM-iteration-invariant precomputations, hoisted out of the while_loop
     (captured as constants by the body): fused-NE static rows, sorted-segment
@@ -312,12 +383,17 @@ class _SolveInvariants(NamedTuple):
     bounds: jnp.ndarray | None      # [P+1] point segment offsets
     lids: jnp.ndarray | None        # [O] tile-local point ids
     mv_tile: int                    # coupling-matvec tile (0 = kernel off)
+    cam_perm: jnp.ndarray | None = None    # [O] camera-sorting permutation (large C)
+    cam_bounds: jnp.ndarray | None = None  # [C+1] camera segment offsets
+    mv_big_tile: int = 0                   # large-C coupling-matvec tile
 
 
 def _solve_invariants(prob: BAProblem, cam_params, cfg: BAConfig, axis_name) -> _SolveInvariants:
+    from sfm_tpu.kernels import schur_spmv
+
     O = prob.obs_w.shape[0]
     static_t = None
-    if _use_fused_ne(prob, cam_params, axis_name):
+    if _use_fused_ne(prob, cam_params, axis_name) or _use_fused_ne_big(prob, cam_params, axis_name):
         static_t = _ne_static_misc(prob)
     bounds = None
     if axis_name is None:
@@ -329,7 +405,26 @@ def _solve_invariants(prob: BAProblem, cam_params, cfg: BAConfig, axis_name) -> 
     if mv_tile:
         op = prob.obs_point.reshape(O // mv_tile, mv_tile)
         lids = (op - op[:, :1]).reshape(O)
-    return _SolveInvariants(static_t=static_t, bounds=bounds, lids=lids, mv_tile=mv_tile)
+    cam_perm = cam_bounds = None
+    mv_big_tile = 0
+    if axis_name is None and prob.num_cameras > schur_spmv._MAX_CAMS:
+        # Large-C regime: camera reductions run over a camera-sorted view
+        # (one argsort per solve, O(log O) on device) instead of the one-hot
+        # kernels (VMEM-capped) or the XLA scatter (serializes).
+        cam_perm = jnp.argsort(prob.obs_cam, stable=True)
+        sorted_cams = prob.obs_cam[cam_perm]
+        cam_bounds = jnp.searchsorted(
+            sorted_cams, jnp.arange(prob.num_cameras + 1, dtype=prob.obs_cam.dtype)
+        )
+        if (cam_params.shape[-1] == CAM_DIM
+                and jax.default_backend() == "tpu"):
+            T = schur_spmv.matvec_tile_big(prob.point_align)
+            if T and O % T == 0:
+                mv_big_tile = T
+                op = prob.obs_point.reshape(O // T, T)
+                lids = (op - op[:, :1]).reshape(O)
+    return _SolveInvariants(static_t=static_t, bounds=bounds, lids=lids, mv_tile=mv_tile,
+                            cam_perm=cam_perm, cam_bounds=cam_bounds, mv_big_tile=mv_big_tile)
 
 
 def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConfig,
@@ -342,6 +437,10 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     if _use_fused_ne(prob, cam_params, axis_name):
         Hcc, Hpp, W_t, bc, bp = _ne_blocks_fused(prob, cam_params, points, cfg,
                                                  static_t=inv.static_t)
+        O = W_t.shape[1]
+        W = W_t.T.reshape(O, 6, 3)
+    elif _use_fused_ne_big(prob, cam_params, axis_name):
+        Hcc, Hpp, W_t, bc, bp = _ne_blocks_fused_big(prob, cam_params, points, cfg, inv)
         O = W_t.shape[1]
         W = W_t.T.reshape(O, 6, 3)
     else:
@@ -358,9 +457,20 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
         # NOTE: no indices_are_sorted hints here — the camera-sharded path
         # reorders observations by camera, so point sortedness cannot be assumed
         # by this shared code (and the hint measured perf-neutral on v5e).
-        Hcc = _maybe_psum(jax.ops.segment_sum(JcTJc, prob.obs_cam, C), axis_name)     # [C, 6, 6]
+        bJc = jnp.einsum("oai,oa->oi", Jc, r)
+        if inv.cam_perm is not None and axis_name is None:
+            # Large-C scatter-free camera reductions (see _cam_reduce_sorted).
+            D = cam_params.shape[-1]
+            camred = _cam_reduce_sorted(
+                jnp.concatenate([JcTJc.reshape(-1, D * D), bJc], axis=1),
+                inv.cam_perm, inv.cam_bounds,
+            )
+            Hcc = camred[:, :D * D].reshape(C, D, D)
+            bc = -camred[:, D * D:]
+        else:
+            Hcc = _maybe_psum(jax.ops.segment_sum(JcTJc, prob.obs_cam, C), axis_name)     # [C, 6, 6]
+            bc = -_maybe_psum(jax.ops.segment_sum(bJc, prob.obs_cam, C), axis_name)
         Hpp = _maybe_psum(jax.ops.segment_sum(JpTJp, prob.obs_point, P), axis_name)   # [P, 3, 3]
-        bc = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, C), axis_name)
         bp = -_maybe_psum(jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), prob.obs_point, P), axis_name)
 
     # Multiplicative LM damping on block diagonals (Ceres-style), with an
@@ -383,27 +493,44 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
         and C <= schur_spmv._MAX_CAMS and cam_params.shape[-1] == CAM_DIM
         and O % min(schur_spmv._TILE_OBS, O) == 0
     )
+    whw_big = (
+        axis_name is None and jax.default_backend() == "tpu"
+        and C > schur_spmv._MAX_CAMS and cam_params.shape[-1] == CAM_DIM
+        and inv.cam_perm is not None
+        and O % min(schur_spmv._TILE_OBS, O) == 0
+    )
+    mv_any = inv.mv_tile or inv.mv_big_tile
     hinv_t = None
-    if whw_kernel or inv.mv_tile:
+    if whw_kernel or whw_big or mv_any:
         hinv_t = Hpp_inv.reshape(P, 9)[prob.obs_point].T
-    if (whw_kernel or inv.mv_tile) and W_t is None:
+    if (whw_kernel or whw_big or mv_any) and W_t is None:
         W_t = W.reshape(O, 18).T
 
     # Schur-Jacobi preconditioner: exact block diagonal of S.
     if whw_kernel:
         whw_sum = schur_spmv.whw_cam_reduce(W_t, hinv_t, prob.obs_cam, C).reshape(C, 6, 6)
+    elif whw_big:
+        pay = schur_spmv.whw_payloads_big(W_t, hinv_t)            # [36, O]
+        whw_sum = _cam_reduce_sorted(pay.T, inv.cam_perm, inv.cam_bounds).reshape(C, 6, 6)
     else:
         WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
-        whw_sum = _cam_reduce(WHW, prob.obs_cam, C, axis_name)
+        if inv.cam_perm is not None and axis_name is None:
+            whw_sum = _cam_reduce_sorted(
+                WHW.reshape(O, -1), inv.cam_perm, inv.cam_bounds
+            ).reshape(Hcc_d.shape)
+        else:
+            whw_sum = _cam_reduce(WHW, prob.obs_cam, C, axis_name)
     M = Hcc_d - _maybe_psum(whw_sum, axis_name)
     M = M + 1e-6 * eyec[None]
     M_inv = jnp.linalg.inv(M)
 
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv,
                      point_bounds=inv.bounds,
-                     w_t=W_t if inv.mv_tile else None,
-                     hinv_t=hinv_t if inv.mv_tile else None,
-                     lids=inv.lids, mv_tile=inv.mv_tile)
+                     w_t=W_t if mv_any else None,
+                     hinv_t=hinv_t if mv_any else None,
+                     lids=inv.lids, mv_tile=inv.mv_tile,
+                     cam_perm=inv.cam_perm, cam_bounds=inv.cam_bounds,
+                     mv_big_tile=inv.mv_big_tile)
 
 
 def _matvec_kernel_tile(prob: BAProblem, cam_params, axis_name) -> int:
@@ -439,11 +566,26 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
             prob.obs_cam, ne.lids, ne.w_t, ne.hinv_t, v, tile=ne.mv_tile
         )
         return jnp.einsum("cij,cj->ci", ne.Hcc, v) - coupling
+    if use_kernel and ne.mv_big_tile:
+        # Large-C variant: the camera gather (v[obs_cam]) and the final
+        # camera reduction run in XLA (gather + camera-sorted prefix sum);
+        # the kernel keeps the per-obs compute + tile-local point segments.
+        from sfm_tpu.kernels.schur_spmv import schur_coupling_payloads_big
+
+        C = v.shape[0]
+        v8 = jnp.zeros((8, C), jnp.float32).at[:6].set(v.T)
+        y_t = schur_coupling_payloads_big(
+            ne.lids, ne.w_t, ne.hinv_t, v8[:, prob.obs_cam], tile=ne.mv_big_tile
+        )
+        coupling = _cam_reduce_sorted(y_t[:6].T, ne.cam_perm, ne.cam_bounds)
+        return jnp.einsum("cij,cj->ci", ne.Hcc, v) - coupling
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
     g = _maybe_psum(_point_reduce(u, prob, ne.point_bounds, axis_name), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])              # [O, 6]
-    if use_kernel:
+    if ne.cam_perm is not None and axis_name is None:
+        Wv = _cam_reduce_sorted(y, ne.cam_perm, ne.cam_bounds)
+    elif use_kernel:
         Wv = _maybe_psum(_cam_reduce(y, prob.obs_cam, prob.num_cameras, axis_name), axis_name)
     else:
         Wv = _maybe_psum(jax.ops.segment_sum(y, prob.obs_cam, prob.num_cameras), axis_name)
@@ -454,6 +596,8 @@ def _schur_rhs(ne: _NormalEq, prob: BAProblem, axis_name=None) -> jnp.ndarray:
     """rhs = bc - W Hpp^-1 bp."""
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, ne.bp)
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])
+    if ne.cam_perm is not None and axis_name is None:
+        return ne.bc - _cam_reduce_sorted(y, ne.cam_perm, ne.cam_bounds)
     return ne.bc - _maybe_psum(_cam_reduce(y, prob.obs_cam, prob.num_cameras, axis_name), axis_name)
 
 

