@@ -154,13 +154,89 @@ def bench_features():
     return (_FEAT_B * reps) / dt
 
 
+def bench_e2e_device():
+    """Device-resident end-to-end comparator (VERDICT r2 item #8): renders a
+    synthetic blob scene ON DEVICE (separable-Gaussian splat = one [S,K]@[K,S]
+    matmul per image), then runs features -> match -> verify chained on
+    device, host-forcing only the final edge verdicts. Isolates chip compute
+    from the host<->device tunnel, whose throughput varies 50x run-to-run
+    (NOTES.md gotcha 8) and dominates the OpenCV-oracle wall-clock ratio.
+
+    Returns (images_per_sec, pairs_per_sec) for the full pipeline slice.
+    """
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.config import SiftConfig, MatchConfig, RansacConfig
+    from sfm_tpu.ops.sift import extract_features
+    from sfm_tpu.ops.match import match_block
+    from sfm_tpu.ops.verify import verify_block
+
+    B, S, K = 8, 512, 160
+    sift_cfg = SiftConfig(image_max_dim=S, max_keypoints=512, max_candidates=2048)
+    match_cfg = MatchConfig(max_matches=256)
+    ransac_cfg = RansacConfig(num_hypotheses=512, min_inliers=12)
+
+    @jax.jit
+    def render(seed):
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        pts = jax.random.uniform(k1, (K, 3), jnp.float32, -1.5, 1.5)
+        # Cameras on an arc looking at the origin (angle-only pose model
+        # keeps this a pure-jnp render; geometry fidelity is irrelevant for
+        # a throughput bench, feature/match/verify see realistic images).
+        ang = jnp.linspace(0.0, 0.5, B)
+        f = S * 1.2
+        imgs = []
+        for b in range(B):
+            ca, sa = jnp.cos(ang[b]), jnp.sin(ang[b])
+            R = jnp.asarray([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
+            xc = pts @ R.T + jnp.asarray([0.0, 0.0, 4.0])
+            uv = xc[:, :2] / xc[:, 2:3] * f + S / 2
+            sig = 2.0 + 3.0 * jax.random.uniform(k2, (K,), jnp.float32)
+            grid = jnp.arange(S, dtype=jnp.float32)
+            gx = jnp.exp(-((grid[None, :] - uv[:, 0:1]) ** 2) / (2 * sig[:, None] ** 2))
+            gy = jnp.exp(-((grid[None, :] - uv[:, 1:2]) ** 2) / (2 * sig[:, None] ** 2))
+            imgs.append(jnp.clip(gy.T @ gx, 0.0, 1.0))            # [S,K]@[K,S] on MXU
+        return jnp.stack(imgs)
+
+    ii, jj = np.triu_indices(B, k=1)
+    n_pairs = len(ii)
+    hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
+    intr = jnp.asarray(np.tile([S * 1.2, S * 1.2, S / 2, S / 2, 0, 0], (n_pairs, 1)).astype(np.float32))
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(jax.random.PRNGKey(7), jnp.arange(n_pairs))
+
+    def run(seed):
+        canv = render(seed)
+        feats = extract_features(canv, sift_cfg, hw)
+        di, dj = feats.desc[ii], feats.desc[jj]
+        vi, vj = feats.valid[ii], feats.valid[jj]
+        pm = match_block(di, vi, dj, vj, match_cfg)
+        uv_i = jnp.take_along_axis(feats.xy[ii], pm.idx_i[..., None], axis=1)
+        uv_j = jnp.take_along_axis(feats.xy[jj], pm.idx_j[..., None], axis=1)
+        geom = verify_block(keys, uv_i, uv_j, pm.valid, intr, intr, ransac_cfg)
+        return geom.ok, geom.num_inliers
+
+    ok, _ = run(0)                      # compile + warm
+    _ = np.asarray(ok)
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(reps):
+        ok, ninl = run(r + 1)           # fresh seed: no memoized replay
+        _ = np.asarray(ok), np.asarray(ninl)   # host-force ONLY the verdicts
+    dt = time.perf_counter() - t0
+    return (B * reps) / dt, (n_pairs * reps) / dt
+
+
 def main():
     import jax
 
+    e2e_imgs, e2e_pairs = bench_e2e_device()
     results = {
         "pairs_per_sec_per_chip": bench_matching(),
         "ba_lm_iters_per_sec": bench_ba(),
         "features_imgs_per_sec": bench_features(),
+        "e2e_device_imgs_per_sec": e2e_imgs,
+        "e2e_device_pairs_per_sec": e2e_pairs,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

@@ -23,11 +23,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_problem(C, seed, obs_per_pt=8):
+def make_problem(C, seed, obs_per_pt=8, pts_per_cam=128):
     import jax.numpy as jnp
     from sfm_tpu.ba.problem import BAProblem
 
-    P = C * 128  # points scale with cameras (Rome16K-ish density)
+    P = C * pts_per_cam
     O = P * obs_per_pt
     rng = np.random.default_rng(seed)
     obs_point = np.repeat(np.arange(P, dtype=np.int32), obs_per_pt)
@@ -50,6 +50,7 @@ def make_problem(C, seed, obs_per_pt=8):
 
 def main():
     cams = [int(c) for c in (sys.argv[1] if len(sys.argv) > 1 else "128,1024,4096").split(",")]
+    ppc = int(os.environ.get("SWEEP_PTS_PER_CAM", "128"))
     import jax
     from sfm_tpu.config import BAConfig
     from sfm_tpu.ba.core import bundle_adjust
@@ -58,19 +59,19 @@ def main():
                    robust_loss="huber", dense_schur_max_cameras=0)
     rows = []
     for C in cams:
-        prob = make_problem(C, seed=1)
+        prob = make_problem(C, seed=1, pts_per_cam=ppc)
         t0 = time.perf_counter()
         out, _ = bundle_adjust(prob, cfg)
         np.asarray(out.cam_params)
         t_compile = time.perf_counter() - t0
-        prob2 = make_problem(C, seed=2)
+        prob2 = make_problem(C, seed=2, pts_per_cam=ppc)
         t0 = time.perf_counter()
         out, stats = bundle_adjust(prob2, cfg)
         np.asarray(out.cam_params)
         dt = time.perf_counter() - t0
         it = max(int(stats.iterations), 1)
         row = {
-            "C": C, "P": C * 128, "O": C * 1024, "cg": cfg.cg_iterations,
+            "C": C, "P": C * ppc, "O": C * ppc * 8, "cg": cfg.cg_iterations,
             "lm_iters_per_sec": round(it / dt, 2), "iters": it,
             "run_s": round(dt, 2), "compile_plus_first_s": round(t_compile, 1),
             "backend": jax.default_backend(),

@@ -155,12 +155,62 @@ def residuals_and_jacobians(prob: BAProblem, cam_params: jnp.ndarray, points: jn
     return r * sqrt_w[:, None], Jc * sqrt_w[:, None, None], Jp * sqrt_w[:, None, None], sqrt_w
 
 
+def _residuals_flat(cams_o, pts_o, intr_o, uv):
+    """Per-observation residuals in SCALAR-COLUMN form — no [O, 3, 3]
+    rotation tensor is ever materialized. The vmapped `_residual_one` builds
+    per-obs Rodrigues matrices whose trailing 3x3 dims XLA lays out as
+    (4, 128) tiles: a 57x padding expansion that OOM'd HBM at O = 4.2M
+    (the C=4096 BA sweep). Same math as geometry.project / the fused NE
+    kernel (Taylor-guarded Rodrigues, radial distortion, guarded divide).
+
+    cams_o [O, D>=6], pts_o [O, 3], intr_o [O, 6], uv [O, 2] -> r [O, 2].
+    """
+    wx, wy, wz = cams_o[:, 0], cams_o[:, 1], cams_o[:, 2]
+    tx, ty, tz = cams_o[:, 3], cams_o[:, 4], cams_o[:, 5]
+    fx, fy = intr_o[:, 0], intr_o[:, 1]
+    cx, cy = intr_o[:, 2], intr_o[:, 3]
+    k1, k2 = intr_o[:, 4], intr_o[:, 5]
+    if cams_o.shape[-1] >= 8:
+        sf = jnp.exp(cams_o[:, 6])
+        fx = fx * sf
+        fy = fy * sf
+        k1 = k1 + cams_o[:, 7]
+    px, py, pz = pts_o[:, 0], pts_o[:, 1], pts_o[:, 2]
+
+    t2 = wx * wx + wy * wy + wz * wz
+    th = jnp.sqrt(jnp.maximum(t2, 1e-24))
+    small = t2 < 1e-8
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / t2)
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = _rot_entries(wx, wy, wz, A, B)
+    xc0 = r00 * px + r01 * py + r02 * pz + tx
+    xc1 = r10 * px + r11 * py + r12 * pz + ty
+    xc2 = r20 * px + r21 * py + r22 * pz + tz
+    z = jnp.where(jnp.abs(xc2) < 1e-8, jnp.where(xc2 < 0, -1e-8, 1e-8), xc2)
+    x = xc0 / z
+    y = xc1 / z
+    r2 = x * x + y * y
+    s = 1.0 + r2 * (k1 + r2 * k2)
+    return jnp.stack([fx * (x * s) + cx - uv[:, 0], fy * (y * s) + cy - uv[:, 1]], axis=-1)
+
+
+def _rot_entries(wx, wy, wz, a, b):
+    """Rodrigues I + a [w]x + b [w]x^2 as nine [O] scalar columns (the XLA
+    twin of kernels/schur_spmv._rot_cols)."""
+    t2 = wx * wx + wy * wy + wz * wz
+    return (
+        1.0 + b * (wx * wx - t2), -a * wz + b * wx * wy, a * wy + b * wx * wz,
+        a * wz + b * wx * wy, 1.0 + b * (wy * wy - t2), -a * wx + b * wy * wz,
+        -a * wy + b * wx * wz, a * wx + b * wy * wz, 1.0 + b * (wz * wz - t2),
+    )
+
+
 def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig, axis_name=None) -> jnp.ndarray:
     """Robustified mean cost over valid observations."""
     cams_o = cam_params[prob.obs_cam]
     pts_o = points[prob.obs_point]
     intr_o = prob.intrinsics[prob.obs_cam]
-    r = jax.vmap(_residual_one)(cams_o, pts_o, intr_o, prob.obs_uv)
+    r = _residuals_flat(cams_o, pts_o, intr_o, prob.obs_uv)
     s = jnp.sum(r * r, axis=-1)
     c = robust_cost(s, cfg.robust_loss, cfg.robust_scale_px) * prob.obs_w
     num = _maybe_psum(jnp.sum(c), axis_name)

@@ -272,17 +272,27 @@ def build_vocab_tree(key, training_desc: jnp.ndarray, cfg: VocabConfig, train_w:
                   f"fit {t2 - t1:.2f}s, reassign {time.perf_counter() - t2:.2f}s "
                   f"({num_nodes} nodes)")
         num_nodes *= b
-    return VocabTree(centers, b, depth)
+    tree = VocabTree(centers, b, depth)
+    # The last reassignment pass already placed every training row at its
+    # leaf — those ARE the word ids retrieval would recompute by full-tree
+    # descent (NOTES r2: the training rows are a subset of the corpus, and
+    # re-descending them was ~25% of the quantize+score stage).
+    tree.train_words = assignments
+    return tree
 
 
-def bow_vectors(tree: VocabTree, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def bow_vectors(tree: VocabTree, desc: jnp.ndarray, valid: jnp.ndarray,
+                words: jnp.ndarray | None = None) -> jnp.ndarray:
     """TF-IDF bag-of-words vectors for a batch of images.
 
     desc [B, N, D], valid [B, N] -> L2-normalized [B, num_words].
+    words: optional precomputed [B, N] word ids (rows already quantized
+    during the tree build skip the full-tree descent).
     """
     B, N, D = desc.shape
     W = tree.num_words
-    words = tree.quantize(desc.reshape(B * N, D)).reshape(B, N)
+    if words is None:
+        words = tree.quantize(desc.reshape(B * N, D)).reshape(B, N)
     # Term frequencies via segment_sum (a [B*N, W] one-hot would be GBs at
     # default vocab sizes).
     seg = (jnp.arange(B)[:, None] * W + words).reshape(-1)
@@ -332,7 +342,14 @@ def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0,
     tree = build_vocab_tree(key, train, cfg, train_w=train_w)
     t1 = time.perf_counter()
     k = min(cfg.num_neighbors, B - 1)
-    bow = bow_vectors(tree, desc, valid)                 # [B, W]
+    # Word ids: the training slice desc[:, :per] was quantized by the build
+    # itself (tree.train_words); only the remaining columns descend the tree.
+    words = jnp.zeros((B, N), jnp.int32)
+    words = words.at[:, :per].set(tree.train_words.reshape(B, per))
+    if per < N:
+        rest = tree.quantize(desc[:, per:].reshape(B * (N - per), D))
+        words = words.at[:, per:].set(rest.reshape(B, N - per))
+    bow = bow_vectors(tree, desc, valid, words=words)    # [B, W]
     # Score + top-k ON DEVICE: the [B, B] similarity matrix is 400MB at 10k
     # images — shipping it to host for argpartition is pure link traffic;
     # only the [B, k] neighbor ids come back.

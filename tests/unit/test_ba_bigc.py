@@ -150,3 +150,20 @@ def test_bundle_adjust_runs_past_max_cams():
     assert np.isfinite(float(stats.final_cost))
     assert float(stats.final_cost) <= float(stats.initial_cost)
     assert np.isfinite(np.asarray(out.cam_params)).all()
+
+
+def test_residuals_flat_matches_residual_one():
+    """compute_cost's scalar-column residual (no [O,3,3] materialization —
+    the C=4096 HBM OOM fix) equals the vmapped reference, incl. the
+    intrinsics-refinement columns."""
+    rng = np.random.default_rng(11)
+    O = 257
+    for D in (6, 8):
+        cams = jnp.asarray(rng.normal(0, 0.5, (O, D)).astype(np.float32))
+        pts = jnp.asarray(rng.normal(0, 1.0, (O, 3)).astype(np.float32) + [0, 0, 5])
+        intr = jnp.asarray(
+            np.tile([500.0, 480, 320, 240, 0.02, -0.01], (O, 1)).astype(np.float32))
+        uv = jnp.asarray(rng.uniform(0, 640, (O, 2)).astype(np.float32))
+        ref = jax.vmap(core._residual_one)(cams, pts, intr, uv)
+        got = core._residuals_flat(cams, pts, intr, uv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=2e-3)
