@@ -155,6 +155,11 @@ class PartitionConfig:
     overlap_cameras: int = 10           # boundary cameras duplicated between clusters
     merge_global_ba: bool = True
     parallel_clusters: int = 1          # threaded per-cluster dispatch (EP analog)
+    merge_tracks_min_votes: int = 2     # cross-cluster track consolidation:
+                                        # correspondence votes required to fuse
+                                        # two merged points (0 disables)
+    merge_tracks_dist_frac: float = 0.05  # ... and max 3D separation as a
+                                          # fraction of the RMS scene scale
 
 
 @dataclass(frozen=True)
@@ -215,6 +220,29 @@ _FIELD_TYPES = {
 def config_hash(cfg: Any) -> str:
     """Stable hash of a config — keys the stage-artifact cache (SURVEY.md §5.4)."""
     blob = json.dumps(config_to_dict(cfg), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+# Which sub-configs each pipeline stage's output depends on. Artifact keys
+# scoped this way mean an engine/BA/partition tweak does NOT invalidate the
+# ~25-min feature stage or the match graph at 10k-image scale — iterating on
+# the reconstruction resumes from "matches". Cosmetic fields (verbose,
+# artifact_dir, profile_dir) and ShardConfig are excluded everywhere: the
+# sharded paths are parity-tested equal to the single-device ones, so their
+# artifacts are interchangeable.
+_STAGE_CONFIG_SCOPE = {
+    "features": ("sift",),
+    "matches": ("sift", "match", "vocab", "ransac", "pair_mode", "seed"),
+    "reconstruction": ("sift", "match", "vocab", "ransac", "ba", "engine",
+                       "partition", "pair_mode", "seed"),
+}
+
+
+def stage_config_hash(cfg: Any, stage: str) -> str:
+    """Config hash restricted to the sub-configs `stage` actually consumes."""
+    fields = _STAGE_CONFIG_SCOPE.get(stage, _STAGE_CONFIG_SCOPE["reconstruction"])
+    d = config_to_dict(cfg)
+    blob = json.dumps({k: d[k] for k in fields if k in d}, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 

@@ -26,6 +26,8 @@ from sfm_tpu.scene.tracks import build_tracks, TrackSet
 from sfm_tpu.scene.state import Reconstruction
 
 _PNP_CAP = 2048      # 2D-3D correspondence budget per registration
+_MIN_PNP_FLOOR = 6   # stall-rescue floor: EPnP needs >=6 links; below that a
+                     # pose is unconstrained and rescue would do more harm
 _TRI_VIEW_CAP = 8    # observations used per track triangulation
 
 # Engine-internal wall-clock accounting, printed at the end of a run when
@@ -381,18 +383,20 @@ def _triangulate_new(st: EngineState, cfg: PipelineConfig, verbose: bool,
     return len(new)
 
 
-def _pnp_register(st: EngineState, img: int, cfg: PipelineConfig, key) -> bool:
+def _pnp_register(st: EngineState, img: int, cfg: PipelineConfig, key,
+                  floor: int | None = None) -> bool:
+    min_inl = cfg.engine.abs_pose_min_inliers if floor is None else floor
     tr = st.tracks
     rows = np.where((tr.obs_image == img) & st.obs_alive)[0]
     rows = rows[st.track_point[tr.track_id[rows]] >= 0]
-    if len(rows) < cfg.engine.abs_pose_min_inliers:
+    if len(rows) < min_inl:
         return False
     pts_arr = st.points[: st.num_points]
     pv = st.point_valid[: st.num_points]
     pids = st.track_point[tr.track_id[rows]]
     keep = pv[pids]
     rows, pids = rows[keep], pids[keep]
-    if len(rows) < cfg.engine.abs_pose_min_inliers:
+    if len(rows) < min_inl:
         return False
     rows = rows[:_PNP_CAP]
     pids = pids[:_PNP_CAP]
@@ -413,7 +417,7 @@ def _pnp_register(st: EngineState, img: int, cfg: PipelineConfig, key) -> bool:
         key, jnp.asarray(X), jnp.asarray(uv), jnp.asarray(mask),
         num_hypotheses=cfg.ransac.num_hypotheses,
         threshold_sq=thr,
-        min_inliers=cfg.engine.abs_pose_min_inliers,
+        min_inliers=min_inl,
     )
     if not bool(ok):
         return False
@@ -616,6 +620,15 @@ def incremental_reconstruct(
     since_global = 0
     since_retri = 0
     retries_left = 2
+    # Adaptive PnP floor (stall rescue): sparse scenes with short tracks can
+    # leave a frontier image with slightly fewer visible triangulated points
+    # than abs_pose_min_inliers (ladder #2 stalled at 38/48 with the next
+    # image seeing 9 < 10). When the march stalls AND bounded retries are
+    # exhausted, halve the floor (never below _MIN_PNP_FLOOR) and continue —
+    # local BA + the reprojection filter guard against a bad low-count pose,
+    # and every rescue-registration re-densifies the frontier so later images
+    # usually register at the full floor again.
+    floor = cfg.engine.abs_pose_min_inliers
     while True:
         # Rank unregistered images by visible triangulated points, then
         # register a ROUND of the best candidates before re-triangulating and
@@ -634,14 +647,21 @@ def incremental_reconstruct(
             for img in order[:round_size + 2]:
                 if len(registered_round) >= round_size:
                     break
-                if counts[img] < cfg.engine.abs_pose_min_inliers:
+                if counts[img] < floor:
                     break
                 key, sub = jax.random.split(key)
-                if _pnp_register(st, int(img), cfg, sub):
+                if _pnp_register(st, int(img), cfg, sub, floor=floor):
                     registered_round.append(int(img))
                 else:
                     st.failed[img] = True
         if registered_round:
+            if floor < cfg.engine.abs_pose_min_inliers:
+                # A rescue round advanced the frontier: return to the full
+                # floor and re-arm one retry so the newly-densified map gets
+                # a normal pass before the next rescue.
+                floor = cfg.engine.abs_pose_min_inliers
+                retries_left = max(retries_left, 1)
+                st.failed[:] = False
             recent.extend(registered_round)
             with _prof("triangulate"):
                 n_new = _triangulate_new(st, cfg, cfg.verbose)
@@ -693,6 +713,14 @@ def incremental_reconstruct(
             if retries_left > 0 and st.failed.any() and st.registered.sum() > 2:
                 retries_left -= 1
                 st.failed[:] = False
+                continue
+            # Stall rescue: lower the PnP floor and try again (see above).
+            if floor > _MIN_PNP_FLOOR and st.registered.sum() >= 2 and not st.registered.all():
+                floor = max(_MIN_PNP_FLOOR, floor // 2)
+                st.failed[:] = False
+                if cfg.verbose:
+                    print(f"[sfm_tpu] stall at {int(st.registered.sum())}/{B}: "
+                          f"lowering PnP floor to {floor} for a rescue round")
                 continue
             if cfg.verbose and not st.registered.all():
                 top = order[:4]

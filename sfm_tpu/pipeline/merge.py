@@ -288,6 +288,116 @@ def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: b
     return [((float(s_g[i]), R_g[i], t_g[i]) if comp[i] else None) for i in range(n)]
 
 
+def merge_tracks_by_correspondence(
+    rec: Reconstruction, graph, min_votes: int = 2, dist_frac: float = 0.05,
+    verbose: bool = False,
+) -> int:
+    """Consolidate fragmented tracks using verified match-graph edges
+    (COLMAP CompleteAndMergeTracks analog, SURVEY.md §2.5 retriangulation).
+
+    Partitioned reconstruction never consumes cross-cluster match edges: each
+    cluster builds tracks from its masked subgraph, and the merge dedups only
+    identical (image, kp) observations. Every inlier correspondence
+    (i, ki) ~ (j, kj) whose endpoints landed in two DIFFERENT merged points
+    is therefore unused evidence that those points are one physical track.
+    This pass counts such votes per point pair and union-finds pairs with
+    >= min_votes votes whose 3D separation is below dist_frac of the scene
+    scale (RMS point spread) — the distance gate keeps repeated-texture
+    false matches from gluing distant structure. Mutates `rec` in place;
+    returns the number of merged (absorbed) points. Host-side numpy: the
+    vote table is O(total correspondences), microseconds-per-million rows.
+    """
+    pv = rec.point_valid
+    val_rows = pv[rec.obs_point]
+    kb = (rec.obs_image[val_rows].astype(np.int64) << 32) | rec.obs_kp[val_rows].astype(np.int64)
+    pb = rec.obs_point[val_rows]
+    order = np.argsort(kb, kind="stable")
+    kb_s, pb_s = kb[order], pb[order]
+    if len(kb_s) == 0:
+        return 0
+
+    def lookup(img, kp):
+        ko = (img.astype(np.int64) << 32) | kp.astype(np.int64)
+        pos = np.searchsorted(kb_s, ko)
+        pos_c = np.minimum(pos, len(kb_s) - 1)
+        hit = kb_s[pos_c] == ko
+        return hit, np.where(hit, pb_s[pos_c], -1)
+
+    ok_e = np.where(graph.ok)[0]
+    if len(ok_e) == 0:
+        return 0
+    e_idx, m_idx = np.where(graph.inlier[ok_e])
+    img_i = graph.pairs[ok_e][e_idx, 0]
+    img_j = graph.pairs[ok_e][e_idx, 1]
+    kp_i = graph.idx_i[ok_e][e_idx, m_idx]
+    kp_j = graph.idx_j[ok_e][e_idx, m_idx]
+    hi, pi = lookup(img_i, kp_i)
+    hj, pj = lookup(img_j, kp_j)
+    both = hi & hj & (pi != pj)
+    if not both.any():
+        return 0
+    a = np.minimum(pi[both], pj[both]).astype(np.int64)
+    b = np.maximum(pi[both], pj[both]).astype(np.int64)
+    key, counts = np.unique((a << 32) | b, return_counts=True)
+    key = key[counts >= min_votes]
+    if len(key) == 0:
+        return 0
+    pa = (key >> 32).astype(np.int64)
+    pb2 = (key & 0xFFFFFFFF).astype(np.int64)
+
+    pts = rec.points
+    centroid = pts[pv].mean(0)
+    scale = float(np.sqrt(((pts[pv] - centroid) ** 2).sum(-1).mean()))
+    d = np.linalg.norm(pts[pa] - pts[pb2], axis=1)
+    keep = d <= dist_frac * max(scale, 1e-9)
+    pa, pb2 = pa[keep], pb2[keep]
+    if len(pa) == 0:
+        return 0
+
+    # Union-find with path halving over the accepted pairs.
+    parent = np.arange(len(pts), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pa, pb2):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    root = np.array([find(i) for i in range(len(pts))], dtype=np.int64)
+    absorbed = (root != np.arange(len(pts))) & pv
+
+    # Root position = observation-count-weighted mean of its members (the
+    # follow-up polish BA refines it; the mean just keeps the init sane).
+    w = np.bincount(rec.obs_point[val_rows], minlength=len(pts)).astype(np.float64)
+    w = np.where(pv, np.maximum(w, 1.0), 0.0)
+    sum_xyz = np.zeros((len(pts), 3))
+    np.add.at(sum_xyz, root, w[:, None] * pts)
+    sum_w = np.zeros(len(pts))
+    np.add.at(sum_w, root, w)
+    merged_roots = np.unique(root[absorbed])
+    pts[merged_roots] = (sum_xyz[merged_roots] / np.maximum(sum_w[merged_roots], 1e-9)[:, None]).astype(np.float32)
+    rec.point_valid = pv & ~absorbed
+
+    rec.obs_point = root[rec.obs_point].astype(np.int32)
+    # Dedup exact (image, kp, point) rows created by the remap.
+    okey = (rec.obs_image.astype(np.int64) << 32) | rec.obs_kp.astype(np.int64)
+    _, first = np.unique(okey, return_index=True)
+    sel = np.sort(first)
+    rec.obs_point = rec.obs_point[sel]
+    rec.obs_image = rec.obs_image[sel]
+    rec.obs_kp = rec.obs_kp[sel]
+    rec.obs_uv = rec.obs_uv[sel]
+    n = int(absorbed.sum())
+    if verbose and n:
+        print(f"[sfm_tpu] track merge: absorbed {n} fragment points "
+              f"({len(pa)} voted pairs)")
+    return n
+
+
 def merge_reconstructions(recs: list[Reconstruction], cfg: PipelineConfig) -> Reconstruction:
     """Sim3-synchronize all clusters into the anchor frame (loop closure),
     then fuse. Clusters disconnected from the anchor component are dropped

@@ -147,6 +147,19 @@ def partitioned_reconstruct(
 
     merged = merge_reconstructions(recs, cfg)
 
+    # Cross-cluster track consolidation (COLMAP merge-tracks analog): the
+    # per-cluster engines never see cross-cluster match edges, so one
+    # physical track surfaces as several merged points. Fusing them both
+    # shrinks the point table AND adds long-range rigidity — merged tracks
+    # tie cameras in distant clusters together, which is exactly the
+    # constraint the global polish needs to remove low-frequency deformation.
+    if cfg.partition.merge_tracks_min_votes > 0:
+        from sfm_tpu.pipeline.merge import merge_tracks_by_correspondence
+        merge_tracks_by_correspondence(
+            merged, graph, min_votes=cfg.partition.merge_tracks_min_votes,
+            dist_frac=cfg.partition.merge_tracks_dist_frac, verbose=cfg.verbose,
+        )
+
     # Post-merge rescue: images that failed PnP inside their (partial-map)
     # cluster often succeed against the MERGED global model — its tracks
     # span every cluster. Rescue BEFORE the polish so the global BA also
@@ -156,10 +169,21 @@ def partitioned_reconstruct(
 
     if cfg.partition.merge_global_ba and merged.num_points > 4:
         _merged_polish(merged, cfg)
+        # Second consolidation at a tighter gate on the straightened model:
+        # fragments the pre-polish distance gate rejected (cluster-alignment
+        # error) are now adjacent; fuse and re-polish.
+        n_merged2 = 0
+        if cfg.partition.merge_tracks_min_votes > 0:
+            n_merged2 = merge_tracks_by_correspondence(
+                merged, graph, min_votes=cfg.partition.merge_tracks_min_votes,
+                dist_frac=0.4 * cfg.partition.merge_tracks_dist_frac,
+                verbose=cfg.verbose,
+            )
+        n2 = 0
         if not merged.registered.all():
             n2 = _rescue_unregistered(merged, feats, graph, intrinsics, cfg)
-            if n2:
-                _merged_polish(merged, cfg)
+        if n2 or n_merged2:
+            _merged_polish(merged, cfg)
     return merged
 
 

@@ -26,16 +26,21 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
     streaming = paths is not None and len(paths) >= _STREAMING_MIN_IMAGES
 
     store = None
-    key = None
+    fkey = mkey = rkey = None
     if streaming:
         if cfg.artifact_dir:
-            from sfm_tpu.config import config_hash
+            from sfm_tpu.config import stage_config_hash
             from sfm_tpu.scene.artifacts import ArtifactStore, path_hash
 
             store = ArtifactStore(cfg.artifact_dir)
-            key = config_hash(cfg) + "-" + path_hash(paths)
+            ikey = path_hash(paths)
+            # Stage-scoped keys: a reconstruction-config tweak resumes from
+            # "matches" instead of re-running the ~25-min feature stage.
+            fkey = stage_config_hash(cfg, "features") + "-" + ikey
+            mkey = stage_config_hash(cfg, "matches") + "-" + ikey
+            rkey = stage_config_hash(cfg, "reconstruction") + "-" + ikey
         with timer.stage("features"):
-            if store and store.is_complete("features", key) and store.is_complete("meta", key):
+            if store and store.is_complete("features", fkey) and store.is_complete("meta", fkey):
                 feats = store.load_features()
                 meta = store.load("meta")
                 intrinsics, names = meta["intrinsics"], [str(n) for n in meta["names"]]
@@ -43,8 +48,8 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             else:
                 feats, intrinsics, valid_hw, names = stages.extract_stage_streaming(paths, cfg)
                 if store:
-                    store.save_features(key, feats)
-                    store.save("meta", key, dict(
+                    store.save_features(fkey, feats)
+                    store.save("meta", fkey, dict(
                         intrinsics=intrinsics, valid_hw=valid_hw,
                         names=np.asarray(names),
                     ))
@@ -58,19 +63,22 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
 
         # Stage artifact cache (SURVEY.md §5.4): resume from completed stages.
         if cfg.artifact_dir:
-            from sfm_tpu.config import config_hash
+            from sfm_tpu.config import stage_config_hash
             from sfm_tpu.scene.artifacts import ArtifactStore, input_hash
 
             store = ArtifactStore(cfg.artifact_dir)
-            key = config_hash(cfg) + "-" + input_hash(batch.canvases, batch.names)
+            ikey = input_hash(batch.canvases, batch.names)
+            fkey = stage_config_hash(cfg, "features") + "-" + ikey
+            mkey = stage_config_hash(cfg, "matches") + "-" + ikey
+            rkey = stage_config_hash(cfg, "reconstruction") + "-" + ikey
 
         with timer.stage("features"):
-            if store and store.is_complete("features", key):
+            if store and store.is_complete("features", fkey):
                 feats = store.load_features()
             else:
                 feats = stages.extract_stage(batch, cfg)
                 if store:
-                    store.save_features(key, feats)
+                    store.save_features(fkey, feats)
 
     with timer.stage("pairs"):
         if cfg.pair_mode == "exhaustive":
@@ -83,7 +91,7 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             raise ValueError(f"unknown pair_mode: {cfg.pair_mode}")
 
     with timer.stage("match+verify"):
-        if store and store.is_complete("matches", key):
+        if store and store.is_complete("matches", mkey):
             graph = store.load_graph()
         else:
             prematched = None
@@ -97,9 +105,9 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
                 feats, pairs, intrinsics, cfg, seed=cfg.seed, prematched=prematched
             )
             if store:
-                store.save_graph(key, graph)
+                store.save_graph(mkey, graph)
 
-    if store and store.is_complete("reconstruction", key):
+    if store and store.is_complete("reconstruction", rkey):
         rec = store.load_reconstruction()
     elif num_images == 2:
         with timer.stage("two_view"):
@@ -122,12 +130,12 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
 
                 ckpt_cb = None
                 if store is not None:
-                    def ckpt_cb(step, snapshot, _store=store, _key=key):
+                    def ckpt_cb(step, snapshot, _store=store, _key=rkey):
                         _store.save_reconstruction(_key, snapshot, stage=f"scene_{step:04d}")
 
                 rec = incremental_reconstruct(feats, graph, intrinsics, cfg, checkpoint_cb=ckpt_cb)
-    if store and not store.is_complete("reconstruction", key):
-        store.save_reconstruction(key, rec)
+    if store and not store.is_complete("reconstruction", rkey):
+        store.save_reconstruction(rkey, rec)
 
     rec.image_names = names
     rec.image_sizes = np.asarray(valid_hw)[:, ::-1].astype(np.int32)  # (w, h)

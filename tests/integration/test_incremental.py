@@ -134,6 +134,58 @@ def test_track_lengths(ring_result):
     assert (tl >= 2).all()
 
 
+def test_stall_rescue_registers_sparse_frontier():
+    """Adaptive PnP-floor stall rescue (ladder #2 regression: 38/48).
+
+    Only a handful of points chain across 3+ images (the rest form length-2
+    tracks that never yield 2D-3D links for an unregistered frontier image),
+    so each new image sees fewer triangulated points than
+    abs_pose_min_inliers. Without the rescue the march stalls after the
+    first pair's neighbours; with it, every image registers and accuracy
+    holds."""
+    scene = make_orbit_scene(num_cameras=12, num_points=150, noise_px=0.0, seed=10, arc_fraction=1.0)
+    feats, graph = scene_to_features_and_graph(scene, noise=0.2, seed=11)
+
+    # Keep only adjacent-ring edges, and on each edge keep the 8 chaining
+    # points (ids 0..7, visible everywhere on this orbit) plus an
+    # edge-alternating subset whose tracks cannot span 3 images.
+    keep_e = np.abs(graph.pairs[:, 0] - graph.pairs[:, 1]) == 1
+    ok = graph.ok & keep_e
+    inlier = graph.inlier.copy()
+    kp_pt = {}  # (img, kp) -> point id, from construction in the fixture
+    for i in range(scene.num_cameras):
+        vis = np.where(scene.visible[i])[0][:256]
+        for slot, p in enumerate(vis):
+            kp_pt[(i, slot)] = int(p)
+    for e in range(len(graph.pairs)):
+        if not ok[e]:
+            continue
+        i, j = graph.pairs[e]
+        for m in np.where(inlier[e])[0]:
+            p = kp_pt[(int(i), int(graph.idx_i[e, m]))]
+            if p < 8:
+                continue  # chaining point: keep on every edge
+            if (p % 2) != (int(i) % 2):
+                inlier[e, m] = False
+    n_inl = inlier.sum(1).astype(np.int32)
+    ok &= n_inl >= 12
+    graph = MatchGraph(
+        pairs=graph.pairs, idx_i=graph.idx_i, idx_j=graph.idx_j, inlier=inlier,
+        num_inliers=n_inl, num_h_inliers=graph.num_h_inliers,
+        rvec=graph.rvec, tvec=graph.tvec, ok=ok,
+    )
+    cfg = PipelineConfig(
+        engine=EngineConfig(local_ba_window=5, global_ba_every=6,
+                            abs_pose_min_inliers=12, init_min_inliers=20),
+        ransac=RansacConfig(num_hypotheses=512),
+        ba=BAConfig(max_iterations=20),
+        verbose=False,
+    )
+    rec = incremental_reconstruct(feats, graph, scene.intrinsics.copy(), cfg)
+    assert rec.num_registered == scene.num_cameras, rec.num_registered
+    assert rec.mean_reprojection_error() < 0.8
+
+
 def test_checkpoint_callback_fires(ring_result):
     """SceneState snapshots every k registrations (SURVEY.md §5.3)."""
     scene = make_orbit_scene(num_cameras=12, num_points=150, noise_px=0.0, seed=10, arc_fraction=1.0)

@@ -52,3 +52,25 @@ def test_summary_report_fields():
         assert k in s
     assert s["track_length_hist"][">=2"] >= 0
     assert s["mean_reproj_error_px"] < 1e-2  # unperturbed scene
+
+
+def test_stage_config_hash_scoping():
+    """Stage-scoped artifact keys (run.py): downstream-config edits must not
+    invalidate upstream stage artifacts, and cosmetic fields must not
+    invalidate anything."""
+    import dataclasses
+    from sfm_tpu.config import stage_config_hash, BAConfig, SiftConfig
+
+    cfg = PipelineConfig()
+    tweaked_ba = dataclasses.replace(cfg, ba=BAConfig(max_iterations=3))
+    assert stage_config_hash(cfg, "features") == stage_config_hash(tweaked_ba, "features")
+    assert stage_config_hash(cfg, "matches") == stage_config_hash(tweaked_ba, "matches")
+    assert stage_config_hash(cfg, "reconstruction") != stage_config_hash(tweaked_ba, "reconstruction")
+
+    tweaked_sift = dataclasses.replace(cfg, sift=SiftConfig(max_keypoints=123))
+    assert stage_config_hash(cfg, "features") != stage_config_hash(tweaked_sift, "features")
+    assert stage_config_hash(cfg, "matches") != stage_config_hash(tweaked_sift, "matches")
+
+    cosmetic = dataclasses.replace(cfg, verbose=not cfg.verbose, artifact_dir="/tmp/x")
+    for stage in ("features", "matches", "reconstruction"):
+        assert stage_config_hash(cfg, stage) == stage_config_hash(cosmetic, stage)

@@ -98,6 +98,60 @@ def test_merge_track_only_alignment():
     assert merged.mean_reprojection_error() < 0.1
 
 
+def test_merge_tracks_by_correspondence():
+    """Cross-cluster track consolidation (merge.py): two fragments of one
+    physical point, linked by >= min_votes verified correspondences, fuse
+    into one; a fragment with a single vote stays split."""
+    from sfm_tpu.pipeline.merge import merge_tracks_by_correspondence
+    from sfm_tpu.pipeline.stages import MatchGraph
+
+    scene = make_orbit_scene(num_cameras=6, num_points=30, noise_px=0.0, seed=34)
+    rec = scene_to_reconstruction(scene)
+    M = scene.num_points
+    # Fragment points visible everywhere: rows in images >= 3 move to a twin
+    # point id M+k placed 0.01 away (well inside the 5%-of-scene-scale gate).
+    vis_all = scene.visible.all(0)
+    split = np.where(vis_all)[0][:10]
+    assert len(split) == 10
+    frag_of = dict(zip(split.tolist(), range(M, M + 10)))
+    obs_point = rec.obs_point.copy()
+    for p, npid in frag_of.items():
+        obs_point[(rec.obs_point == p) & (rec.obs_image >= 3)] = npid
+    rec.obs_point = obs_point
+    rec.points = np.concatenate([rec.points, scene.points[split] + 0.01]).astype(np.float32)
+    rec.point_valid = np.concatenate([rec.point_valid, np.ones(10, bool)])
+    rec.point_errors = np.zeros(len(rec.points), np.float32)
+
+    # Graph: edge (2,3) votes all 10 splits; edge (1,4) votes only the first
+    # 9 — so split[9] collects a single vote and must survive as a fragment.
+    W = 16
+    def edge(i, j, pts):
+        ii = np.zeros(W, np.int32); jj = np.zeros(W, np.int32); inl = np.zeros(W, bool)
+        ii[:len(pts)] = pts; jj[:len(pts)] = pts  # kp id == point id per image
+        inl[:len(pts)] = True
+        return ii, jj, inl
+    e1 = edge(2, 3, split)
+    e2 = edge(1, 4, split[:9])
+    graph = MatchGraph(
+        pairs=np.asarray([[2, 3], [1, 4]], np.int32),
+        idx_i=np.stack([e1[0], e2[0]]), idx_j=np.stack([e1[1], e2[1]]),
+        inlier=np.stack([e1[2], e2[2]]),
+        num_inliers=np.asarray([10, 9], np.int32),
+        num_h_inliers=np.zeros(2, np.int32),
+        rvec=np.zeros((2, 3), np.float32), tvec=np.zeros((2, 3), np.float32),
+        ok=np.ones(2, bool),
+    )
+    n = merge_tracks_by_correspondence(rec, graph, min_votes=2)
+    assert n == 9, n
+    assert int(rec.point_valid.sum()) == 31  # 30 originals + the 1-vote twin
+    # Fused observations now point at the original ids, and reproject fine.
+    fused = [p for p in split[:9]]
+    for p in fused:
+        rows = rec.obs_point == p
+        assert (rec.obs_image[rows] >= 3).any() and (rec.obs_image[rows] < 3).any()
+    assert rec.mean_reprojection_error() < 0.5
+
+
 def test_synchronize_sim3_closes_the_loop():
     """Four overlapping arcs around a full orbit, each perturbed by a random
     sim3: synchronization must place every cluster back so the fused model
