@@ -45,10 +45,12 @@ def main(argv=None):
     add_common(sub.add_parser("features", help="feature extraction only"))
     add_common(sub.add_parser("match", help="features + matching/verification"))
 
-    ep = sub.add_parser("export", help="export artifacts to COLMAP text + PLY")
+    ep = sub.add_parser("export", help="export artifacts to COLMAP text/binary + PLY")
     ep.add_argument("artifacts", help="artifact directory of a completed run")
     ep.add_argument("--out", required=True)
     ep.add_argument("--ply", action="store_true")
+    ep.add_argument("--binary", action="store_true",
+                    help="also write cameras.bin/images.bin/points3D.bin")
 
     ip = sub.add_parser("info", help="print reconstruction summary")
     ip.add_argument("artifacts")
@@ -65,10 +67,11 @@ def main(argv=None):
 
         if args.cmd == "reconstruct":
             from sfm_tpu.pipeline.run import run_pipeline
-            from sfm_tpu.scene.export import write_colmap_text, write_ply
+            from sfm_tpu.scene.export import write_colmap_bin, write_colmap_text, write_ply
 
             rec = run_pipeline(args.images, cfg)
             write_colmap_text(rec, os.path.join(args.out, "sparse"))
+            write_colmap_bin(rec, os.path.join(args.out, "sparse"))
             write_ply(rec, os.path.join(args.out, "cloud.ply"))
             print(json.dumps(rec.summary()))
         else:
@@ -99,11 +102,13 @@ def main(argv=None):
 
     if args.cmd == "export":
         from sfm_tpu.scene.artifacts import ArtifactStore
-        from sfm_tpu.scene.export import write_colmap_text, write_ply
+        from sfm_tpu.scene.export import write_colmap_bin, write_colmap_text, write_ply
 
         store = ArtifactStore(args.artifacts)
         rec = store.load_reconstruction()
         write_colmap_text(rec, os.path.join(args.out, "sparse"))
+        if getattr(args, "binary", False):
+            write_colmap_bin(rec, os.path.join(args.out, "sparse"))
         if args.ply:
             write_ply(rec, os.path.join(args.out, "cloud.ply"))
         print(f"exported to {args.out}")

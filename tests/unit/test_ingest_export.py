@@ -127,3 +127,29 @@ def test_local_ba_all_free_window_keeps_gauge_anchors():
     prob, cam_idx, _ = build_problem(rec, free_cams=np.array([0, 1]))
     fixed = np.asarray(prob.cam_fixed)[: len(cam_idx)]
     assert fixed.sum() >= 2
+
+
+def test_colmap_bin_roundtrip(tmp_path):
+    """write_colmap_bin -> read_colmap_bin reproduces the model exactly, and
+    the binary TRACK[] obeys the same POINT2D_IDX contract as the text."""
+    from sfm_tpu.scene.export import write_colmap_bin, read_colmap_bin
+
+    rec = _toy_rec()
+    write_colmap_bin(rec, str(tmp_path))
+    cameras, images, points3D = read_colmap_bin(str(tmp_path))
+
+    assert len(cameras) == 2
+    assert cameras[1]["model_id"] == 1            # PINHOLE
+    assert cameras[1]["width"] == 64 and cameras[1]["height"] == 48
+    assert cameras[2]["model_id"] == 2            # SIMPLE_RADIAL
+
+    assert set(images) == {1, 2}
+    np.testing.assert_allclose(images[2]["tvec"], rec.tvecs[1], atol=1e-12)
+    # Image 2 observes two points (rows 1, 2 of the obs table).
+    assert len(images[2]["xys"]) == 2
+
+    assert set(points3D) == {1, 2}
+    np.testing.assert_allclose(points3D[1]["xyz"], [0, 0, 5.0], atol=1e-12)
+    for pid, pt in points3D.items():
+        for img_id, p2d in zip(pt["image_ids"], pt["point2D_idxs"]):
+            assert int(images[int(img_id)]["point3D_ids"][int(p2d)]) == pid
