@@ -43,11 +43,29 @@ def main():
     from sfm_tpu.utils.synthetic import render_blob_scene
 
     t0 = time.perf_counter()
-    imgs, scene = render_blob_scene(
-        image_size=(size, size), num_images=n,
-        num_blobs=min(60 + 8 * n, 600), focal=size * 1.2,
-        arc_fraction=min(0.02 * n, 1.0), radius=4.0,
-    )
+    # Render cache: the windowed-splat render is a host-side Python loop
+    # (~17 min at n=10000) and is deterministic in its params — reruns load
+    # the exact canvases instead (float32 round-trips bit-identically, so
+    # the artifact store's input hash — and with it the cached feature/match
+    # stages — stays valid across reruns).
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".render_cache_{n}_{size}.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        imgs = data["imgs"]
+        from sfm_tpu.utils.synthetic import SyntheticScene
+        fields = {k[6:]: data[k] for k in data.files if k.startswith("scene_")}
+        fields["image_size"] = tuple(int(v) for v in fields["image_size"])
+        scene = SyntheticScene(**fields)
+    else:
+        imgs, scene = render_blob_scene(
+            image_size=(size, size), num_images=n,
+            num_blobs=min(60 + 8 * n, 600), focal=size * 1.2,
+            arc_fraction=min(0.02 * n, 1.0), radius=4.0,
+        )
+        if n >= 1000:  # only cache the expensive scales
+            np.savez(cache, imgs=imgs,
+                     **{f"scene_{k}": v for k, v in scene.__dict__.items()})
     t_render = time.perf_counter() - t0
 
     cfg = PipelineConfig(
