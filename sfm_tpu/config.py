@@ -160,6 +160,11 @@ class PartitionConfig:
                                         # two merged points (0 disables)
     merge_tracks_dist_frac: float = 0.05  # ... and max 3D separation as a
                                           # fraction of the RMS scene scale
+    polish_ba_iterations: int = 40      # LM budget for the merged-model global
+                                        # polish (0 = inherit ba.max_iterations);
+                                        # the final unbend needs more iterations
+                                        # than the incremental loop's solves and
+                                        # exits early on convergence anyway
 
 
 @dataclass(frozen=True)

@@ -319,8 +319,15 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
     schedule): sim3-chained clusters carry alignment drift and a few
     wrongly-linked cross-cluster tracks; one robust solve leaves those as
     gross outliers, so filter and re-solve."""
+    import dataclasses
+
     from sfm_tpu.ba import build_problem, dispatch_bundle_adjust, writeback
     from sfm_tpu.scene.state import filter_observations
+
+    if cfg.partition.polish_ba_iterations > 0:
+        cfg = dataclasses.replace(
+            cfg, ba=dataclasses.replace(cfg.ba, max_iterations=cfg.partition.polish_ba_iterations)
+        )
 
     if merged.num_registered <= _POLISH_MAX_CAMERAS:
         failed = 0
