@@ -88,8 +88,11 @@ def main():
         pair_mode=pair_mode,
         verbose=True,
         # Stage artifacts keyed by config+input hash: a crashed/iterated
-        # run at 1-10k scale resumes past the ~25-min feature stage.
-        artifact_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".ladder_cache"),
+        # run at 1-10k scale resumes past the ~25-min feature stage. One dir
+        # per scale: the store keeps a single slot per stage file, so a
+        # different-scale run would otherwise evict these artifacts.
+        artifact_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  f".ladder_cache_{n}_{size}_{pair_mode}"),
     )
     t0 = time.perf_counter()
     rec = run_pipeline(list(imgs), cfg)
