@@ -22,7 +22,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)  # framework is fp32-first, like the TPU path
 
 # Persistent compile cache: integration tests re-trace identical shapes.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# CPU gets its OWN cache dir: XLA:CPU persists AOT machine code specialized
+# to the host's CPU features, and this VM's host type changes across
+# restarts — a stale entry from a different host segfaulted (SIGILL-class)
+# mid-suite when shared with the TPU cache. The TPU cache (.jax_cache) is
+# unaffected: axon executables never lower to host machine code.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # SURVEY.md §5.2: JAX designs data races out; the remaining numeric hazard is
