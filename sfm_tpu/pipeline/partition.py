@@ -98,11 +98,27 @@ def _mask_graph_to_cluster(graph: MatchGraph, cluster: np.ndarray) -> MatchGraph
 
 
 def partitioned_reconstruct(
-    feats: FeatureSet, graph: MatchGraph, intrinsics: np.ndarray, cfg: PipelineConfig
+    feats: FeatureSet, graph: MatchGraph, intrinsics: np.ndarray, cfg: PipelineConfig,
+    store=None, key: str | None = None,
 ) -> Reconstruction:
-    """Cluster -> reconstruct -> merge -> global BA (config ladder #5)."""
+    """Cluster -> reconstruct -> merge -> global BA (config ladder #5).
+
+    store/key: optional ArtifactStore checkpoint slot. The merged+rescued
+    (pre-polish) model is hours of cluster work; it is saved under stage
+    'merged_prepolish' BEFORE the global polish, so a polish-time failure
+    (e.g. a TPU worker crash inside the C~10k LM program) resumes straight
+    into the polish instead of redoing every cluster.
+    """
     from sfm_tpu.pipeline.engine import incremental_reconstruct
     from sfm_tpu.pipeline.merge import merge_reconstructions
+
+    if store is not None and key is not None and store.is_complete("merged_prepolish", key):
+        merged = store.load_reconstruction(stage="merged_prepolish")
+        if cfg.verbose:
+            print("[sfm_tpu] resuming from merged_prepolish artifact "
+                  f"({merged.num_registered} cams, {merged.num_points} pts)")
+        _polish_phase(merged, feats, graph, intrinsics, cfg)
+        return merged
 
     B = len(feats.xy)
     clusters = partition_images(
@@ -167,6 +183,21 @@ def partitioned_reconstruct(
     # map is more accurate); a 10k r2 run stalled at 9670/10000 exactly here.
     n_rescued = _rescue_unregistered(merged, feats, graph, intrinsics, cfg)
 
+    if store is not None and key is not None:
+        store.save_reconstruction(key, merged, stage="merged_prepolish")
+
+    _polish_phase(merged, feats, graph, intrinsics, cfg)
+    return merged
+
+
+def _polish_phase(
+    merged: Reconstruction, feats: FeatureSet, graph: MatchGraph,
+    intrinsics: np.ndarray, cfg: PipelineConfig,
+) -> None:
+    """Global polish + second-pass consolidation/rescue on the merged model
+    (mutates `merged` in place)."""
+    from sfm_tpu.pipeline.merge import merge_tracks_by_correspondence
+
     if cfg.partition.merge_global_ba and merged.num_points > 4:
         _merged_polish(merged, cfg)
         # Second consolidation at a tighter gate on the straightened model:
@@ -184,7 +215,6 @@ def partitioned_reconstruct(
             n2 = _rescue_unregistered(merged, feats, graph, intrinsics, cfg)
         if n2 or n_merged2:
             _merged_polish(merged, cfg)
-    return merged
 
 
 def _rescue_unregistered(
@@ -321,6 +351,8 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
     gross outliers, so filter and re-solve."""
     import dataclasses
 
+    import jax
+
     from sfm_tpu.ba import build_problem, dispatch_bundle_adjust, writeback
     from sfm_tpu.scene.state import filter_observations
 
@@ -333,16 +365,26 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
         failed = 0
         for round_ in range(2):
             prob, cams, pids = build_problem(merged)
+            if cfg.verbose:
+                print(f"[sfm_tpu] merged global BA: C={prob.num_cameras} "
+                      f"P={prob.num_points} O={prob.obs_w.shape[0]} "
+                      f"align={prob.point_align}", flush=True)
             try:
                 out, _ = dispatch_bundle_adjust(prob, cfg)
+                # Force execution INSIDE the try: jit returns async arrays,
+                # so a runtime failure (TPU worker crash / HBM exhaustion)
+                # otherwise surfaces later at writeback's np.asarray —
+                # outside this survival path (lost a 2.5h 10k run once).
+                jax.block_until_ready(out.cam_params)
             except Exception as e:  # pragma: no cover - remote-compiler flake path
                 # The merged model is the product of hours of work; a failed
                 # final-polish compile must not discard it. Retry once, then
                 # fall back to the windowed polish.
                 if cfg.verbose:
-                    print(f"[sfm_tpu] merged global BA failed ({type(e).__name__}); retrying once")
+                    print(f"[sfm_tpu] merged global BA failed ({type(e).__name__}: {e}); retrying once")
                 try:
                     out, _ = dispatch_bundle_adjust(prob, cfg)
+                    jax.block_until_ready(out.cam_params)
                 except Exception as e2:
                     print(f"[sfm_tpu] WARNING: merged global BA failed after retry: {e2}")
                     failed += 1
@@ -377,6 +419,7 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
             prob, cams, pids = build_problem(merged, cam_indices=window, free_cams=free)
             try:
                 out, _ = dispatch_bundle_adjust(prob, cfg)
+                jax.block_until_ready(out.cam_params)  # see global-BA path
             except Exception as e:  # pragma: no cover
                 print(f"[sfm_tpu] WARNING: polish window {s // step} skipped: {type(e).__name__}")
                 continue

@@ -124,7 +124,9 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             if cfg.partition.enabled:
                 from sfm_tpu.pipeline.partition import partitioned_reconstruct
 
-                rec = partitioned_reconstruct(feats, graph, intrinsics, cfg)
+                rec = partitioned_reconstruct(
+                    feats, graph, intrinsics, cfg, store=store, key=rkey
+                )
             else:
                 from sfm_tpu.pipeline.engine import incremental_reconstruct
 
