@@ -43,6 +43,18 @@ from sfm_tpu.geometry.projection import project
 from sfm_tpu.ba.problem import BAProblem, CAM_DIM, PT_DIM
 
 
+def _kernels_disabled() -> frozenset:
+    """Debug/bisection hook: SFM_TPU_BA_DISABLE_KERNELS is a comma list of
+    {ne, ne_big, whw, whw_big, mv, mv_big} — each named kernel gate then
+    evaluates False and the XLA fallback path runs instead. Used to isolate
+    TPU-worker faults to a specific fused kernel (benchmarks/polish_repro.py)."""
+    import os
+
+    return frozenset(
+        s for s in os.environ.get("SFM_TPU_BA_DISABLE_KERNELS", "").split(",") if s
+    )
+
+
 def _maybe_psum(x, axis_name):
     """Cross-shard reduction for the sharded-BA path (SURVEY.md §2.7):
     observations are sharded by camera across the mesh, so every
@@ -305,6 +317,7 @@ def _use_fused_ne(prob: BAProblem, cam_params, axis_name) -> bool:
     O = prob.obs_w.shape[0]
     return (
         axis_name is None
+        and "ne" not in _kernels_disabled()
         and cam_params.shape[-1] == CAM_DIM
         and prob.num_cameras <= schur_spmv._MAX_CAMS
         and (O % 1024 == 0 or O <= schur_spmv._TILE_OBS)  # tile divisibility
@@ -321,6 +334,7 @@ def _use_fused_ne_big(prob: BAProblem, cam_params, axis_name) -> bool:
     O = prob.obs_w.shape[0]
     return (
         axis_name is None
+        and "ne_big" not in _kernels_disabled()
         and cam_params.shape[-1] == CAM_DIM
         and prob.num_cameras > schur_spmv._MAX_CAMS
         and O % 1024 == 0
@@ -467,7 +481,8 @@ def _solve_invariants(prob: BAProblem, cam_params, cfg: BAConfig, axis_name) -> 
             sorted_cams, jnp.arange(prob.num_cameras + 1, dtype=prob.obs_cam.dtype)
         )
         if (cam_params.shape[-1] == CAM_DIM
-                and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu"
+                and "mv_big" not in _kernels_disabled()):
             T = schur_spmv.matvec_tile_big(prob.point_align)
             if T and O % T == 0:
                 mv_big_tile = T
@@ -492,7 +507,12 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     elif _use_fused_ne_big(prob, cam_params, axis_name):
         Hcc, Hpp, W_t, bc, bp = _ne_blocks_fused_big(prob, cam_params, points, cfg, inv)
         O = W_t.shape[1]
-        W = W_t.T.reshape(O, 6, 3)
+        # W stays FEATURE-MAJOR on the large-C path: materializing [O, 6, 3]
+        # lane-pads 3 -> 128 (a 57x expansion, ~4GB at O = 2^20) and crashed
+        # the TPU worker on the 10k merged polish. Every consumer
+        # (_schur_matvec / _schur_rhs / _back_substitute) has a W_t row-
+        # arithmetic path.
+        W = None
     else:
         r, Jc, Jp, _ = residuals_and_jacobians(prob, cam_params, points, cfg)
 
@@ -537,21 +557,23 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     # kernels (one transpose/gather per LM iteration, not per use).
     from sfm_tpu.kernels import schur_spmv
 
-    O = W.shape[0]
+    O = W_t.shape[1] if W_t is not None else W.shape[0]
     whw_kernel = (
         axis_name is None and jax.default_backend() == "tpu"
+        and "whw" not in _kernels_disabled()
         and C <= schur_spmv._MAX_CAMS and cam_params.shape[-1] == CAM_DIM
         and O % min(schur_spmv._TILE_OBS, O) == 0
     )
     whw_big = (
         axis_name is None and jax.default_backend() == "tpu"
+        and "whw_big" not in _kernels_disabled()
         and C > schur_spmv._MAX_CAMS and cam_params.shape[-1] == CAM_DIM
         and inv.cam_perm is not None
         and O % min(schur_spmv._TILE_OBS, O) == 0
     )
     mv_any = inv.mv_tile or inv.mv_big_tile
     hinv_t = None
-    if whw_kernel or whw_big or mv_any:
+    if whw_kernel or whw_big or mv_any or W is None:
         hinv_t = Hpp_inv.reshape(P, 9)[prob.obs_point].T
     if (whw_kernel or whw_big or mv_any) and W_t is None:
         W_t = W.reshape(O, 18).T
@@ -562,6 +584,16 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     elif whw_big:
         pay = schur_spmv.whw_payloads_big(W_t, hinv_t)            # [36, O]
         whw_sum = _cam_reduce_sorted(pay.T, inv.cam_perm, inv.cam_bounds).reshape(C, 6, 6)
+    elif W is None:
+        # Feature-major WHW (large-C path with the whw kernel gated off):
+        # never materialize [O, 6, 6] — see the W=None rationale above.
+        Wm = W_t[:18].reshape(6, 3, O)
+        Hm = hinv_t.reshape(3, 3, O)
+        u_t = jnp.einsum("iko,klo->ilo", Wm, Hm)
+        WHW_t = jnp.einsum("ilo,jlo->ijo", u_t, Wm).reshape(36, O)
+        whw_sum = _cam_reduce_sorted(
+            WHW_t.T, inv.cam_perm, inv.cam_bounds
+        ).reshape(Hcc_d.shape)
     else:
         WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
         if inv.cam_perm is not None and axis_name is None:
@@ -574,10 +606,11 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     M = M + 1e-6 * eyec[None]
     M_inv = jnp.linalg.inv(M)
 
+    keep_t = mv_any or W is None
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv,
                      point_bounds=inv.bounds,
-                     w_t=W_t if mv_any else None,
-                     hinv_t=hinv_t if mv_any else None,
+                     w_t=W_t if keep_t else None,
+                     hinv_t=hinv_t if keep_t else None,
                      lids=inv.lids, mv_tile=inv.mv_tile,
                      cam_perm=inv.cam_perm, cam_bounds=inv.cam_bounds,
                      mv_big_tile=inv.mv_big_tile)
@@ -591,12 +624,28 @@ def _matvec_kernel_tile(prob: BAProblem, cam_params, axis_name) -> int:
 
     if axis_name is not None or cam_params.shape[-1] != CAM_DIM:
         return 0
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or "mv" in _kernels_disabled():
         return 0
     T = schur_spmv.matvec_tile(prob.num_cameras, prob.point_align)
     if T == 0 or prob.obs_w.shape[0] % T != 0:
         return 0
     return T
+
+
+def _wt_apply_T(w_t: jnp.ndarray, x_t: jnp.ndarray) -> jnp.ndarray:
+    """u[k] = sum_i W[i, k] * x[i] per observation, feature-major:
+    w_t [18, O] (row i*3+k = W[i, k]), x_t [6, O] -> [3, O]."""
+    return jnp.stack(
+        [sum(w_t[i * 3 + k] * x_t[i] for i in range(6)) for k in range(3)]
+    )
+
+
+def _wt_apply(w_t: jnp.ndarray, x_t: jnp.ndarray) -> jnp.ndarray:
+    """y[i] = sum_k W[i, k] * x[k] per observation, feature-major:
+    w_t [18, O], x_t [3, O] -> [6, O]."""
+    return jnp.stack(
+        [sum(w_t[i * 3 + k] * x_t[k] for k in range(3)) for i in range(6)]
+    )
 
 
 def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None,
@@ -629,6 +678,18 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
         )
         coupling = _cam_reduce_sorted(y_t[:6].T, ne.cam_perm, ne.cam_bounds)
         return jnp.einsum("cij,cj->ci", ne.Hcc, v) - coupling
+    if ne.W is None:
+        # Feature-major XLA matvec (large-C path, no usable coupling kernel):
+        # all per-observation intermediates are [rows, O] — observations on
+        # the LANE axis — so nothing lane-pads (a [O, 3] layout pads 3 -> 128;
+        # at O = 2^20 that is ~0.5GB per temporary and the [O, 6, 3] W it
+        # would come from is ~4GB — the 10k polish HBM crash).
+        u_t = _wt_apply_T(ne.w_t, jnp.take(v.T, prob.obs_cam, axis=1))   # [3, O]
+        g = _point_reduce(u_t.T, prob, ne.point_bounds, axis_name)       # [P, 3]
+        h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, _maybe_psum(g, axis_name))
+        y_t = _wt_apply(ne.w_t, jnp.take(h.T, prob.obs_point, axis=1))   # [6, O]
+        Wv = _cam_reduce_sorted(y_t.T, ne.cam_perm, ne.cam_bounds)
+        return jnp.einsum("cij,cj->ci", ne.Hcc, v) - Wv
     u = jnp.einsum("oij,oi->oj", ne.W, v[prob.obs_cam])                 # [O, 3]
     g = _maybe_psum(_point_reduce(u, prob, ne.point_bounds, axis_name), axis_name)
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)                        # [P, 3]
@@ -645,6 +706,9 @@ def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None
 def _schur_rhs(ne: _NormalEq, prob: BAProblem, axis_name=None) -> jnp.ndarray:
     """rhs = bc - W Hpp^-1 bp."""
     h = jnp.einsum("pij,pj->pi", ne.Hpp_inv, ne.bp)
+    if ne.W is None:  # feature-major large-C path (see _schur_matvec)
+        y_t = _wt_apply(ne.w_t, jnp.take(h.T, prob.obs_point, axis=1))
+        return ne.bc - _cam_reduce_sorted(y_t.T, ne.cam_perm, ne.cam_bounds)
     y = jnp.einsum("oij,oj->oi", ne.W, h[prob.obs_point])
     if ne.cam_perm is not None and axis_name is None:
         return ne.bc - _cam_reduce_sorted(y, ne.cam_perm, ne.cam_bounds)
@@ -718,7 +782,11 @@ def _dense_schur_solve(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BA
 
 def _back_substitute(ne: _NormalEq, prob: BAProblem, dc: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """dp = Hpp^-1 (bp - W^T dc)."""
-    u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
+    if ne.W is None:  # feature-major large-C path (see _schur_matvec)
+        u_t = _wt_apply_T(ne.w_t, jnp.take(dc.T, prob.obs_cam, axis=1))
+        u = u_t.T
+    else:
+        u = jnp.einsum("oij,oi->oj", ne.W, dc[prob.obs_cam])
     g = ne.bp - _maybe_psum(_point_reduce(u, prob, ne.point_bounds, axis_name), axis_name)
     return jnp.einsum("pij,pj->pi", ne.Hpp_inv, g)
 
