@@ -587,12 +587,8 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     elif W is None:
         # Feature-major WHW (large-C path with the whw kernel gated off):
         # never materialize [O, 6, 6] — see the W=None rationale above.
-        Wm = W_t[:18].reshape(6, 3, O)
-        Hm = hinv_t.reshape(3, 3, O)
-        u_t = jnp.einsum("iko,klo->ilo", Wm, Hm)
-        WHW_t = jnp.einsum("ilo,jlo->ijo", u_t, Wm).reshape(36, O)
         whw_sum = _cam_reduce_sorted(
-            WHW_t.T, inv.cam_perm, inv.cam_bounds
+            _whw_rows_t(W_t, hinv_t).T, inv.cam_perm, inv.cam_bounds
         ).reshape(Hcc_d.shape)
     else:
         WHW = jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_point], W)  # [O, 6, 6]
@@ -630,6 +626,16 @@ def _matvec_kernel_tile(prob: BAProblem, cam_params, axis_name) -> int:
     if T == 0 or prob.obs_w.shape[0] % T != 0:
         return 0
     return T
+
+
+def _whw_rows_t(W_t: jnp.ndarray, hinv_t: jnp.ndarray) -> jnp.ndarray:
+    """vec(W_o Hinv_o W_o^T) per observation, feature-major:
+    W_t [18+, O], hinv_t [9, O] -> [36, O] (no [O, 6, 6] materialization)."""
+    O = W_t.shape[1]
+    Wm = W_t[:18].reshape(6, 3, O)
+    Hm = hinv_t.reshape(3, 3, O)
+    u_t = jnp.einsum("iko,klo->ilo", Wm, Hm)
+    return jnp.einsum("ilo,jlo->ijo", u_t, Wm).reshape(36, O)
 
 
 def _wt_apply_T(w_t: jnp.ndarray, x_t: jnp.ndarray) -> jnp.ndarray:

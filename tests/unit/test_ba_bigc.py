@@ -167,3 +167,36 @@ def test_residuals_flat_matches_residual_one():
         ref = jax.vmap(core._residual_one)(cams, pts, intr, uv)
         got = core._residuals_flat(cams, pts, intr, uv)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=2e-3)
+
+
+def test_feature_major_branches_match_w_path():
+    """The W=None feature-major branches (the 10k-polish HBM-crash fix:
+    large-C/long-track problems never materialize [O,6,3] — its (8,128)
+    lane tiling is a 57x expansion, ~4GB at O=2^20) must reproduce the
+    W-materialized path for S@v, the Schur rhs, back-substitution, and the
+    WHW preconditioner payload."""
+    prob = make_big_problem(C=2176, O=8192, P=512, seed=3)
+    cfg = BAConfig(robust_loss="huber")
+    ne = core.build_normal_equations(
+        prob, prob.cam_params, prob.points, jnp.asarray(1e-3), cfg
+    )
+    assert ne.W is not None and ne.cam_perm is not None  # reference path
+    O = prob.obs_w.shape[0]
+    w_t = ne.W.reshape(O, 18).T
+    hinv_t = ne.Hpp_inv.reshape(prob.num_points, 9)[prob.obs_point].T
+    ne_ref = ne._replace(mv_tile=0, mv_big_tile=0)
+    ne_fm = ne._replace(W=None, mv_tile=0, mv_big_tile=0, w_t=w_t, hinv_t=hinv_t)
+
+    rng = np.random.default_rng(9)
+    v = jnp.asarray(rng.normal(size=(prob.num_cameras, 6)).astype(np.float32))
+    _close(core._schur_matvec(ne_fm, prob, v),
+           core._schur_matvec(ne_ref, prob, v), "feature-major matvec")
+    _close(core._schur_rhs(ne_fm, prob), core._schur_rhs(ne_ref, prob),
+           "feature-major rhs")
+    _close(core._back_substitute(ne_fm, prob, v),
+           core._back_substitute(ne_ref, prob, v), "feature-major backsub")
+
+    whw_ref = jnp.einsum(
+        "oij,ojk,olk->oil", ne.W, ne.Hpp_inv[prob.obs_point], ne.W
+    ).reshape(O, 36)
+    _close(core._whw_rows_t(w_t, hinv_t).T, whw_ref, "feature-major WHW")
