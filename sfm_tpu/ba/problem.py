@@ -128,6 +128,11 @@ def _round_up(n: int, m: int) -> int:
     return cap
 
 
+def _ceil_to(n: int, m: int) -> int:
+    """Round n up to the next multiple of m (tight one-shot capacities)."""
+    return max(m, -(-n // m) * m)
+
+
 def build_problem(
     rec: Reconstruction,
     cam_indices: np.ndarray | None = None,
@@ -135,6 +140,7 @@ def build_problem(
     obs_capacity: int | None = None,
     point_capacity: int | None = None,
     refine_intrinsics: bool = False,
+    tight: bool = False,
 ) -> tuple[BAProblem, np.ndarray, np.ndarray]:
     """Extract a BA problem from the reconstruction.
 
@@ -144,6 +150,12 @@ def build_problem(
     refine_intrinsics: widen the camera block to 8 — the extra params are
       (focal log-scale, k1 delta), applied on top of the stored intrinsics
       (SURVEY.md §2.6 intrinsics refinement; config-switched block width).
+    tight: round capacities to fine-grained multiples instead of the
+      geometric m*2^k buckets. Geometric buckets exist so the incremental
+      engine recompiles only O(log) times as the scene grows; a ONE-SHOT
+      solve (the merged-model global polish) prefers tight caps — the
+      9,998-camera 10k polish otherwise pads to C=16384 and wastes ~64% of
+      every camera-axis op on dead slots.
     Returns (problem, cam_indices, point_ids) where point_ids maps local
     point rows back to reconstruction point ids.
     """
@@ -182,12 +194,17 @@ def build_problem(
         positions = np.arange(O, dtype=np.int64)
         O_aligned = O
 
-    O_cap = obs_capacity or _round_up(O_aligned, 1024)
-    P_cap = point_capacity or _round_up(P, 256)
-    # Camera capacity is bucketed too: the incremental engine registers one
-    # camera at a time, and without this every registration would recompile
-    # the whole LM program (C appears in every array shape).
-    C_cap = _round_up(C, 8)
+    if tight:
+        O_cap = obs_capacity or _ceil_to(O_aligned, 1024)
+        P_cap = point_capacity or _ceil_to(P, 256)
+        C_cap = _ceil_to(C, 256) if C > 256 else _round_up(C, 8)
+    else:
+        O_cap = obs_capacity or _round_up(O_aligned, 1024)
+        P_cap = point_capacity or _round_up(P, 256)
+        # Camera capacity is bucketed too: the incremental engine registers
+        # one camera at a time, and without this every registration would
+        # recompile the whole LM program (C appears in every array shape).
+        C_cap = _round_up(C, 8)
 
     obs_cam = np.zeros(O_cap, np.int32)
     obs_uv = np.zeros((O_cap, 2), np.float32)

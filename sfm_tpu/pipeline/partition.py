@@ -364,7 +364,10 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
     if merged.num_registered <= _POLISH_MAX_CAMERAS:
         failed = 0
         for round_ in range(2):
-            prob, cams, pids = build_problem(merged)
+            # tight=True: the polish is a one-shot solve, so fine-grained
+            # capacities beat geometric buckets (C=9998 would otherwise pad
+            # to 16384 — every camera-axis op 64% dead weight).
+            prob, cams, pids = build_problem(merged, tight=True)
             if cfg.verbose:
                 print(f"[sfm_tpu] merged global BA: C={prob.num_cameras} "
                       f"P={prob.num_points} O={prob.obs_w.shape[0]} "

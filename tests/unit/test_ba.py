@@ -366,3 +366,27 @@ def test_schur_coupling_matvec_kernel_matches_xla():
     scale = max(float(jnp.abs(ref).max()), 1.0)
     np.testing.assert_allclose(np.asarray(got) / scale, np.asarray(ref) / scale,
                                atol=3e-5)
+
+
+def test_build_problem_tight_capacities():
+    """tight=True rounds to fine multiples (one-shot merged polish) instead
+    of geometric buckets: C=1000 caps at 1024, not 8*2^7=1024... use a value
+    where they differ: C=600 -> tight 768 vs geometric 1024."""
+    from sfm_tpu.ba.problem import _ceil_to, _round_up
+
+    assert _ceil_to(600, 256) == 768 and _round_up(600, 8) == 1024
+    assert _ceil_to(9998, 256) == 10240 and _round_up(9998, 8) == 16384
+    assert _ceil_to(100, 256) == 256
+
+    from sfm_tpu.ba import build_problem
+    from sfm_tpu.utils.synthetic import make_orbit_scene
+
+    scene = make_orbit_scene(num_cameras=12, num_points=40, noise_px=0.2, seed=3)
+    rec = scene_to_reconstruction(scene, pose_noise=0.01, point_noise=0.01, seed=4)
+    prob_g, cams_g, pids_g = build_problem(rec)
+    prob_t, cams_t, pids_t = build_problem(rec, tight=True)
+    assert prob_t.num_cameras <= prob_g.num_cameras
+    np.testing.assert_array_equal(cams_g, cams_t)
+    np.testing.assert_array_equal(pids_g, pids_t)
+    # Same real content: the valid-weight rows carry identical observations.
+    assert float(prob_t.obs_w.sum()) == float(prob_g.obs_w.sum())
