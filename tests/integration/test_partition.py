@@ -90,3 +90,41 @@ def test_partitioned_point_coverage_matches_unpartitioned(ring24):
     # Track consolidation may reduce the point count, but not collapse it.
     assert part.num_points >= 0.5 * mono.num_points, (part.num_points, mono.num_points)
     assert part.mean_reprojection_error() < 0.8
+
+
+def test_merged_prepolish_checkpoint_and_resume(ring24, tmp_path):
+    """The merged+rescued model checkpoints as a 'merged_prepolish' stage
+    artifact BEFORE the global polish, and a rerun with the same key resumes
+    straight into the polish (the 10k#2 crash lost 2.5h of cluster work to a
+    polish-time TPU fault; this is the recovery contract)."""
+    from sfm_tpu.scene.artifacts import ArtifactStore
+
+    scene, feats, graph = ring24
+    cfg = PipelineConfig(
+        engine=EngineConfig(local_ba_window=5, global_ba_every=6),
+        ransac=RansacConfig(num_hypotheses=512),
+        ba=BAConfig(max_iterations=20),
+        partition=PartitionConfig(enabled=True, target_cluster_size=10, overlap_cameras=4),
+        verbose=False,
+    )
+    store = ArtifactStore(str(tmp_path))
+    rec1 = partitioned_reconstruct(feats, graph, scene.intrinsics.copy(), cfg,
+                                   store=store, key="k1")
+    assert store.is_complete("merged_prepolish", "k1")
+
+    # Resume: must NOT redo cluster reconstruction. Poison the engine so any
+    # cluster re-run raises; only the polish phase may execute.
+    import sfm_tpu.pipeline.partition as partition_mod
+
+    def _boom(*a, **k):  # pragma: no cover - failure mode
+        raise AssertionError("cluster reconstruction re-ran on resume")
+
+    orig = partition_mod.partition_images
+    partition_mod.partition_images = _boom
+    try:
+        rec2 = partitioned_reconstruct(feats, graph, scene.intrinsics.copy(), cfg,
+                                       store=store, key="k1")
+    finally:
+        partition_mod.partition_images = orig
+    assert rec2.num_registered >= rec1.num_registered - 1
+    assert rec2.mean_reprojection_error() < 0.8
