@@ -144,7 +144,8 @@ def main():
         cg_iterations=int(os.environ.get("REPRO_CG", 64)),
         robust_loss="huber",
     )
-    prob, cams, pids = build_problem(rec)
+    # tight=True mirrors _merged_polish's production build exactly.
+    prob, cams, pids = build_problem(rec, tight=True)
     print(f"problem: C={prob.num_cameras} P={prob.num_points} "
           f"O={prob.obs_w.shape[0]} align={prob.point_align}", flush=True)
 

@@ -47,7 +47,12 @@ def _kernels_disabled() -> frozenset:
     """Debug/bisection hook: SFM_TPU_BA_DISABLE_KERNELS is a comma list of
     {ne, ne_big, whw, whw_big, mv, mv_big} — each named kernel gate then
     evaluates False and the XLA fallback path runs instead. Used to isolate
-    TPU-worker faults to a specific fused kernel (benchmarks/polish_repro.py)."""
+    TPU-worker faults to a specific fused kernel (benchmarks/polish_repro.py).
+
+    TRACE-TIME ONLY: the gates are baked into the jitted LM program and the
+    jit cache does not key on this env var — set it before the process's
+    first solve (one subprocess per configuration, as polish_repro does);
+    toggling it mid-process silently reuses the first compilation."""
     import os
 
     return frozenset(

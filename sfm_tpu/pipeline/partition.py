@@ -363,11 +363,20 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
 
     if merged.num_registered <= _POLISH_MAX_CAMERAS:
         failed = 0
+        caps: tuple[int, int] | None = None
         for round_ in range(2):
             # tight=True: the polish is a one-shot solve, so fine-grained
             # capacities beat geometric buckets (C=9998 would otherwise pad
-            # to 16384 — every camera-axis op 64% dead weight).
-            prob, cams, pids = build_problem(merged, tight=True)
+            # to 16384 — every camera-axis op 64% dead weight). Round 2
+            # reuses round 1's capacities (the filter only DROPS
+            # observations, so they always fit) — otherwise the shrunken
+            # tight shapes would force a fresh multi-ten-second LM compile.
+            prob, cams, pids = build_problem(
+                merged, tight=True,
+                obs_capacity=caps[0] if caps else None,
+                point_capacity=caps[1] if caps else None,
+            )
+            caps = (prob.obs_w.shape[0], prob.num_points)
             if cfg.verbose:
                 print(f"[sfm_tpu] merged global BA: C={prob.num_cameras} "
                       f"P={prob.num_points} O={prob.obs_w.shape[0]} "
