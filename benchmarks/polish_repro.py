@@ -149,6 +149,10 @@ def main():
     print(f"problem: C={prob.num_cameras} P={prob.num_points} "
           f"O={prob.obs_w.shape[0]} align={prob.point_align}", flush=True)
 
+    if os.environ.get("REPRO_DEBUG"):
+        _debug_steps(prob, cfg)
+        return
+
     t0 = time.perf_counter()
     out, stats = bundle_adjust(prob, cfg)
     jax.block_until_ready(out.cam_params)
@@ -156,6 +160,40 @@ def main():
     print(f"OK: iters={int(stats.iterations)} cost {float(stats.initial_cost):.4f} "
           f"-> {float(stats.final_cost):.4f} in {t1 - t0:.1f}s "
           f"(incl. compile on first run)")
+
+
+def _debug_steps(prob, cfg, n_steps: int = 4):
+    """Host-driven LM iterations with per-step diagnostics (the jitted
+    while_loop hides why steps are rejected)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.ba import core
+
+    lam = float(cfg.initial_lambda)
+    cams, pts = prob.cam_params, prob.points
+    cost = float(core.compute_cost(prob, cams, pts, cfg))
+    print(f"initial cost {cost:.6f}")
+    inv = core._solve_invariants(prob, cams, cfg, None)
+    for it in range(n_steps):
+        ne = core.build_normal_equations(prob, cams, pts, jnp.asarray(lam), cfg, inv=inv)
+        rhs = core._schur_rhs(ne, prob)
+        dc = core._pcg(ne, prob, rhs, cfg)
+        dp = core._back_substitute(ne, prob, dc)
+        dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
+        dp = jnp.where(prob.point_fixed[:, None], 0.0, dp)
+        resid = core._schur_matvec(ne, prob, dc) - rhs
+        new_cost = float(core.compute_cost(prob, cams + dc, pts + dp, cfg))
+        print(f"it{it}: lam={lam:.2e} cost={cost:.6f} new={new_cost:.6f} "
+              f"|dc|={float(jnp.linalg.norm(dc)):.3e} |dp|={float(jnp.linalg.norm(dp)):.3e} "
+              f"nan(dc)={int(jnp.isnan(dc).sum())} nan(dp)={int(jnp.isnan(dp).sum())} "
+              f"|rhs|={float(jnp.linalg.norm(rhs)):.3e} "
+              f"cg_rel={float(jnp.linalg.norm(resid) / (jnp.linalg.norm(rhs) + 1e-20)):.3e}")
+        if new_cost < cost:
+            cams, pts, cost = cams + dc, pts + dp, new_cost
+            lam = max(lam / cfg.lambda_down, cfg.min_lambda)
+        else:
+            lam = min(lam * cfg.lambda_up, cfg.max_lambda)
 
 
 if __name__ == "__main__":

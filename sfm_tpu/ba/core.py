@@ -291,7 +291,15 @@ def _point_reduce(values: jnp.ndarray, prob: BAProblem, bounds, axis_name) -> jn
 
 
 def _sym_solve3(A: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
-    """Closed-form inverse of batched SPD 3x3 blocks (adjugate / det)."""
+    """Closed-form inverse of batched SPD 3x3 blocks (adjugate / det),
+    Jacobi-equilibrated: gross-outlier observations (e.g. mis-merged
+    cross-cluster tracks at ~1e4 px residual) push block entries to ~1e13,
+    where the raw det (~entries^3) overflows fp32 and the inverse goes
+    inf/NaN. Scaling by 1/sqrt(diag) makes the adjugate/det O(1) for any
+    input scale; A^-1 = D (D A D)^-1 D."""
+    dg = jnp.sqrt(jnp.clip(jnp.abs(jnp.einsum("...ii->...i", A)), 1e-18, None))
+    Dinv = 1.0 / dg
+    A = A * Dinv[..., :, None] * Dinv[..., None, :]
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
     co00 = d * f - e * e
@@ -310,7 +318,8 @@ def _sym_solve3(A: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
         ],
         -2,
     )
-    return inv * inv_det[..., None, None]
+    inv = inv * inv_det[..., None, None]
+    return inv * Dinv[..., :, None] * Dinv[..., None, :]
 
 
 def _use_fused_ne(prob: BAProblem, cam_params, axis_name) -> bool:
@@ -605,7 +614,15 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
             whw_sum = _cam_reduce(WHW, prob.obs_cam, C, axis_name)
     M = Hcc_d - _maybe_psum(whw_sum, axis_name)
     M = M + 1e-6 * eyec[None]
-    M_inv = jnp.linalg.inv(M)
+    # Jacobi-equilibrated inversion: at merged-polish scale, blocks touched
+    # by gross outliers carry ~1e13 entries and the raw fp32 LU det
+    # overflows — jnp.linalg.inv returned inf/NaN for ~9% of cameras on the
+    # 10k model and every LM step was rejected (NaN cost). D M D has O(1)
+    # entries for any input scale; M^-1 = D (D M D)^-1 D.
+    dg = jnp.sqrt(jnp.clip(jnp.abs(jnp.einsum("cii->ci", M)), 1e-18, None))
+    Dinv = 1.0 / dg
+    M_eq = M * Dinv[:, :, None] * Dinv[:, None, :]
+    M_inv = jnp.linalg.inv(M_eq) * Dinv[:, :, None] * Dinv[:, None, :]
 
     keep_t = mv_any or W is None
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv,
@@ -645,18 +662,21 @@ def _whw_rows_t(W_t: jnp.ndarray, hinv_t: jnp.ndarray) -> jnp.ndarray:
 
 def _wt_apply_T(w_t: jnp.ndarray, x_t: jnp.ndarray) -> jnp.ndarray:
     """u[k] = sum_i W[i, k] * x[i] per observation, feature-major:
-    w_t [18, O] (row i*3+k = W[i, k]), x_t [6, O] -> [3, O]."""
-    return jnp.stack(
-        [sum(w_t[i * 3 + k] * x_t[i] for i in range(6)) for k in range(3)]
-    )
+    w_t [18, O] (row i*3+k = W[i, k]), x_t [6, O] -> [3, O].
+
+    Strided-row arithmetic only: unit-row slices (w_t[i]) made XLA lay the
+    whole loop-resident w_t out with LANES on the feature axis — [1, O]
+    slices at 128x padding, four 1GB buffers at O = 2^21 (the 10k#3 polish
+    compile OOM). repeat/strided-slice keep observations on lanes."""
+    prod = w_t[:18] * jnp.repeat(x_t[:6], 3, axis=0)           # row i*3+k = W[i,k] x[i]
+    return jnp.stack([jnp.sum(prod[k::3], axis=0) for k in range(3)])
 
 
 def _wt_apply(w_t: jnp.ndarray, x_t: jnp.ndarray) -> jnp.ndarray:
     """y[i] = sum_k W[i, k] * x[k] per observation, feature-major:
-    w_t [18, O], x_t [3, O] -> [6, O]."""
-    return jnp.stack(
-        [sum(w_t[i * 3 + k] * x_t[k] for k in range(3)) for i in range(6)]
-    )
+    w_t [18, O], x_t [3, O] -> [6, O]. See _wt_apply_T for the layout rule."""
+    prod = w_t[:18] * jnp.tile(x_t[:3], (6, 1))                # row i*3+k = W[i,k] x[k]
+    return prod[0::3] + prod[1::3] + prod[2::3]
 
 
 def _schur_matvec(ne: _NormalEq, prob: BAProblem, v: jnp.ndarray, axis_name=None,

@@ -41,6 +41,9 @@ def apply_sim3_to_reconstruction(rec: Reconstruction, s: float, R: np.ndarray, t
 
 
 _MIN_SHARED_POINTS = 16  # track-only alignment support threshold
+_MAX_EDGE_REL_RMS = 0.08  # sim3 edges whose trimmed alignment residual
+                          # exceeds this fraction of the correspondence
+                          # spread are measurements of nothing — reject
 
 
 def _obs_identity_match(base: Reconstruction, other: Reconstruction):
@@ -65,8 +68,10 @@ def relative_sim3(base: Reconstruction, other: Reconstruction, min_shared: int =
     points (tracks matched by observation identity). The overlap cameras
     alone are a short, nearly-collinear arc of the capture path, so a
     camera-only Umeyama leaves a free rotation about that arc; shared tracks
-    pin it. A 25%-trimmed re-fit drops wrongly-linked tracks. Returns
-    (s, R, t, support). Raises ValueError when the pair shares neither
+    pin it. An iterated 25%-trimmed re-fit drops wrongly-linked tracks.
+    Returns (s, R, t, support, rel_rms) where rel_rms is the trimmed RMS
+    alignment residual as a fraction of the correspondence spread (the
+    edge-quality score). Raises ValueError when the pair shares neither
     min_shared cameras nor _MIN_SHARED_POINTS tracks — a pair CAN be aligned
     on shared tracks alone (long tracks cross cluster seams even where the
     seam cameras failed to register; without those edges a closed capture
@@ -92,12 +97,24 @@ def relative_sim3(base: Reconstruction, other: Reconstruction, min_shared: int =
     # Host-numpy solve: this runs O(n_clusters^2) times with pair-specific
     # correspondence counts — device dispatch would pay per-shape compiles.
     s, R, t = umeyama_np(src, dst)
+    keep = np.ones(len(src), bool)
     if len(src) > 2 * len(shared):
-        res = np.linalg.norm((s * src @ R.T + t) - dst, axis=1)
-        keep = res <= np.quantile(res, 0.75)
-        if keep.sum() >= 3:
+        # Iterated 25%-trim: a single trim pass left wrongly-linked tracks
+        # in control of track-dominated edges (the 10k scale-chimera run —
+        # one bad tree edge scaled a whole cluster subtree ~190x).
+        for _ in range(3):
+            res = np.linalg.norm((s * src @ R.T + t) - dst, axis=1)
+            new_keep = res <= np.quantile(res[keep], 0.75)
+            if new_keep.sum() < max(3, len(src) // 8):
+                break
+            keep = new_keep
             s, R, t = umeyama_np(src[keep], dst[keep])
-    return s, R, t, len(src)
+    # Alignment quality: trimmed RMS residual relative to the correspondence
+    # spread — callers reject edges that merely found SOME transform.
+    res = np.linalg.norm((s * src[keep] @ R.T + t) - dst[keep], axis=1)
+    spread = np.linalg.norm(dst[keep] - dst[keep].mean(0), axis=1).mean() + 1e-12
+    rel_rms = float(np.sqrt((res ** 2).mean()) / spread)
+    return s, R, t, int(keep.sum()), rel_rms
 
 
 def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, verbose: bool = False,
@@ -108,7 +125,7 @@ def merge_two(base: Reconstruction, other: Reconstruction, min_shared: int = 3, 
     align=False skips the sim3 (the caller has already placed both models in
     one frame, e.g. via synchronize_sim3)."""
     if align:
-        s, R, t, _ = relative_sim3(base, other, min_shared)
+        s, R, t, _, _ = relative_sim3(base, other, min_shared)
         other = apply_sim3_to_reconstruction(other, s, R, t)
 
     matched, base_pid_of_row = _obs_identity_match(base, other)
@@ -191,19 +208,87 @@ def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: b
     for i in range(n):
         for j in range(i + 1, n):
             try:
-                s, R, t, support = relative_sim3(recs[i], recs[j], min_shared)
+                s, R, t, support, rel_rms = relative_sim3(recs[i], recs[j], min_shared)
             except ValueError:
                 continue
+            if rel_rms > _MAX_EDGE_REL_RMS:
+                # An alignment whose trimmed residual is a large fraction of
+                # the correspondence spread is not a measurement — one such
+                # edge in a TREE-shaped sync graph scaled a 10k-run cluster
+                # subtree by ~190x (the scale-chimera postmortem, NOTES.md).
+                if verbose:
+                    print(f"[sfm_tpu] sim3 edge ({i},{j}) REJECTED: "
+                          f"rel_rms={rel_rms:.3f} support={support} s={s:.3g}")
+                continue
+            if verbose:
+                print(f"[sfm_tpu] sim3 edge ({i},{j}): support={support} "
+                      f"s={s:.4g} rel_rms={rel_rms:.4f}")
             edges.append((i, j, s, R, t, float(support)))
     if verbose:
         print(f"[sfm_tpu] sim3 sync: {n} clusters, {len(edges)} overlap edges")
 
+    anchor = 0  # recs are sorted largest-first by the caller
+    for attempt in range(4):
+        result = _sync_solve(n, edges, anchor)
+        s_g, _R_g, _t_g, comp = result
+        # Scale-consistency audit: with redundant edges, one inconsistent
+        # measurement shows up as a large per-edge log-scale residual after
+        # the LS solve; drop the worst and re-solve while the graph stays
+        # connected. (A tree cannot be audited — residuals are exactly 0.)
+        resid = [
+            (abs(np.log(max(s_g[i], 1e-12) * s_ij / max(s_g[j], 1e-12))), e_id)
+            for e_id, (i, j, s_ij, *_r) in enumerate(edges)
+            if comp[i] and comp[j]
+        ]
+        if not resid:
+            break
+        worst, worst_id = max(resid)
+        if worst < np.log(1.3):
+            break
+        trial = [e for k, e in enumerate(edges) if k != worst_id]
+        if not _stays_connected(n, trial, anchor, comp):
+            if verbose:
+                print(f"[sfm_tpu] sim3 audit: worst edge residual {worst:.2f} "
+                      "but graph would disconnect; keeping")
+            break
+        if verbose:
+            i, j, s_ij, *_ = edges[worst_id]
+            print(f"[sfm_tpu] sim3 audit: dropping edge ({i},{j}) "
+                  f"(log-scale residual {worst:.2f}, s_ij={s_ij:.3g})")
+        edges = trial
+    return _finish_sync(n, edges, anchor, recs)
+
+
+def _stays_connected(n, edges, anchor, comp_before) -> bool:
+    adj = [[] for _ in range(n)]
+    for (i, j, *_r) in edges:
+        adj[i].append(j)
+        adj[j].append(i)
+    seen = np.zeros(n, bool)
+    seen[anchor] = True
+    stack = [anchor]
+    while stack:
+        i = stack.pop()
+        for j in adj[i]:
+            if not seen[j]:
+                seen[j] = True
+                stack.append(j)
+    return bool((seen | ~comp_before).all())
+
+
+def _finish_sync(n, edges, anchor, recs):
+    s_g, R_g, t_g, comp = _sync_solve(n, edges, anchor)
+    return [((float(s_g[i]), R_g[i], t_g[i]) if comp[i] else None) for i in range(n)]
+
+
+def _sync_solve(n, edges, anchor):
+    """Spanning-tree init + chordal rotation averaging + log-scale and
+    translation LS over the given edge list (see synchronize_sim3)."""
     # Connected component of the anchor via the edge list.
     adj = [[] for _ in range(n)]
     for e_id, (i, j, *_rest) in enumerate(edges):
         adj[i].append((j, e_id))
         adj[j].append((i, e_id))
-    anchor = 0  # recs are sorted largest-first by the caller
     comp = np.zeros(n, bool)
     comp[anchor] = True
     # Spanning-tree initialization of rotations/scales/translations.
@@ -233,7 +318,7 @@ def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: b
 
     in_edges = [(i, j, s, R, t, w) for (i, j, s, R, t, w) in edges if comp[i] and comp[j]]
     if not in_edges:
-        return [( (1.0, np.eye(3), np.zeros(3)) if comp[i] else None) for i in range(n)]
+        return s_g, R_g, t_g, comp
 
     # Rotation averaging: weighted chordal Gauss-Seidel.
     for _ in range(8):
@@ -285,7 +370,7 @@ def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: b
         for node, k in col.items():
             t_g[node] = sol3[3 * k: 3 * k + 3]
 
-    return [((float(s_g[i]), R_g[i], t_g[i]) if comp[i] else None) for i in range(n)]
+    return s_g, R_g, t_g, comp
 
 
 def merge_tracks_by_correspondence(

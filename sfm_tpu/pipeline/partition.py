@@ -151,13 +151,20 @@ def partitioned_reconstruct(
     # its own chip group; single-chip runs still overlap host/device time).
     workers = max(1, cfg.partition.parallel_clusters)
     work = list(enumerate(clusters))
-    if workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            recs = [r for r in ex.map(run_cluster, work) if r is not None]
+    if store is not None and key is not None and store.is_complete("clusters", key):
+        recs = _load_cluster_recs(store)
+        if cfg.verbose:
+            print(f"[sfm_tpu] resuming from {len(recs)} cluster artifacts")
     else:
-        recs = [r for r in map(run_cluster, work) if r is not None]
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                recs = [r for r in ex.map(run_cluster, work) if r is not None]
+        else:
+            recs = [r for r in map(run_cluster, work) if r is not None]
+        if store is not None and key is not None and recs:
+            _save_cluster_recs(store, key, recs)
     if not recs:
         raise RuntimeError("no cluster produced a reconstruction")
 
@@ -188,6 +195,31 @@ def partitioned_reconstruct(
 
     _polish_phase(merged, feats, graph, intrinsics, cfg)
     return merged
+
+
+_REC_FIELDS = ("intrinsics", "rvecs", "tvecs", "registered", "points",
+               "point_errors", "point_valid", "obs_point", "obs_image",
+               "obs_kp", "obs_uv")
+
+
+def _save_cluster_recs(store, key: str, recs) -> None:
+    """Per-cluster reconstructions as ONE stage artifact ('clusters'):
+    the cluster phase is ~90 min at 10k scale while merge+sync+polish run in
+    minutes — checkpointing here makes merge-logic iteration cheap."""
+    arrays = {"n": np.asarray(len(recs))}
+    for ci, r in enumerate(recs):
+        for f in _REC_FIELDS:
+            arrays[f"c{ci}_{f}"] = getattr(r, f)
+    store.save("clusters", key, arrays)
+
+
+def _load_cluster_recs(store):
+    data = store.load("clusters")
+    n = int(data["n"])
+    return [
+        Reconstruction(**{f: data[f"c{ci}_{f}"] for f in _REC_FIELDS})
+        for ci in range(n)
+    ]
 
 
 def _polish_phase(
@@ -362,6 +394,17 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
         )
 
     if merged.num_registered <= _POLISH_MAX_CAMERAS:
+        # Pre-solve sanitation: wrongly-linked cross-cluster tracks leave a
+        # few thousand 1e3..1e4-px observations whose Jacobians (f/z scale)
+        # push normal-equation blocks toward fp32 overflow and whose huber
+        # weights still dominate the gradient. Anything past this loose gate
+        # is garbage by any standard; the BA->filter->BA loop below handles
+        # the marginal cases at the real threshold.
+        pre = filter_observations(
+            merged, max(32.0, 4.0 * cfg.engine.max_reprojection_error_px)
+        )
+        if cfg.verbose and pre:
+            print(f"[sfm_tpu] pre-polish sanitation: dropped {pre} gross-outlier obs")
         failed = 0
         caps: tuple[int, int] | None = None
         for round_ in range(2):
