@@ -204,13 +204,16 @@ def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: b
     whole solve is microseconds of host linear algebra.
     """
     n = len(recs)
-    edges = []  # (i, j, s_ij, R_ij, t_ij, w): x_i = s_ij R_ij x_j + t_ij
+    anchor = 0  # recs are sorted largest-first by the caller
+    edges = []     # (i, j, s_ij, R_ij, t_ij, w): x_i = s_ij R_ij x_j + t_ij
+    rejected = []  # (edge, rel_rms) — kept for connectivity re-admission
     for i in range(n):
         for j in range(i + 1, n):
             try:
                 s, R, t, support, rel_rms = relative_sim3(recs[i], recs[j], min_shared)
             except ValueError:
                 continue
+            edge = (i, j, s, R, t, float(support))
             if rel_rms > _MAX_EDGE_REL_RMS:
                 # An alignment whose trimmed residual is a large fraction of
                 # the correspondence spread is not a measurement — one such
@@ -219,22 +222,45 @@ def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: b
                 if verbose:
                     print(f"[sfm_tpu] sim3 edge ({i},{j}) REJECTED: "
                           f"rel_rms={rel_rms:.3f} support={support} s={s:.3g}")
+                rejected.append((edge, rel_rms))
                 continue
             if verbose:
                 print(f"[sfm_tpu] sim3 edge ({i},{j}): support={support} "
                       f"s={s:.4g} rel_rms={rel_rms:.4f}")
-            edges.append((i, j, s, R, t, float(support)))
+            edges.append(edge)
+
+    # Connectivity re-admission: a poor seam alignment plus the global
+    # polish beats silently dropping every camera in a severed component.
+    target = _reach(n, edges + [e for e, _ in rejected], anchor)
+    reach = _reach(n, edges, anchor)
+    while (target & ~reach).any() and rejected:
+        cand = [(rel, k) for k, (e, rel) in enumerate(rejected)
+                if reach[e[0]] != reach[e[1]]]
+        if not cand:
+            break
+        _, k = min(cand)
+        edge, rel = rejected.pop(k)
+        if verbose:
+            print(f"[sfm_tpu] sim3 edge ({edge[0]},{edge[1]}) re-admitted for "
+                  f"connectivity (rel_rms={rel:.3f})")
+        edges.append(edge)
+        reach = _reach(n, edges, anchor)
+
     if verbose:
         print(f"[sfm_tpu] sim3 sync: {n} clusters, {len(edges)} overlap edges")
 
-    anchor = 0  # recs are sorted largest-first by the caller
-    for attempt in range(4):
-        result = _sync_solve(n, edges, anchor)
-        s_g, _R_g, _t_g, comp = result
-        # Scale-consistency audit: with redundant edges, one inconsistent
-        # measurement shows up as a large per-edge log-scale residual after
-        # the LS solve; drop the worst and re-solve while the graph stays
-        # connected. (A tree cannot be audited — residuals are exactly 0.)
+    edges = _audit_edges(n, edges, anchor, verbose)
+    return _finish_sync(n, edges, anchor)
+
+
+def _audit_edges(n, edges, anchor, verbose=False):
+    """Scale-consistency audit: with redundant edges, one inconsistent
+    measurement shows up as a large per-edge log-scale residual after the
+    LS solve; drop the worst and re-solve while the graph stays connected.
+    (A tree cannot be audited — its residuals are exactly 0; the rel_rms
+    rejection in synchronize_sim3 is the tree's only defense.)"""
+    for _attempt in range(4):
+        s_g, _R_g, _t_g, comp = _sync_solve(n, edges, anchor)
         resid = [
             (abs(np.log(max(s_g[i], 1e-12) * s_ij / max(s_g[j], 1e-12))), e_id)
             for e_id, (i, j, s_ij, *_r) in enumerate(edges)
@@ -256,10 +282,10 @@ def synchronize_sim3(recs: list[Reconstruction], min_shared: int = 3, verbose: b
             print(f"[sfm_tpu] sim3 audit: dropping edge ({i},{j}) "
                   f"(log-scale residual {worst:.2f}, s_ij={s_ij:.3g})")
         edges = trial
-    return _finish_sync(n, edges, anchor, recs)
+    return edges
 
 
-def _stays_connected(n, edges, anchor, comp_before) -> bool:
+def _reach(n, edges, anchor) -> np.ndarray:
     adj = [[] for _ in range(n)]
     for (i, j, *_r) in edges:
         adj[i].append(j)
@@ -268,15 +294,19 @@ def _stays_connected(n, edges, anchor, comp_before) -> bool:
     seen[anchor] = True
     stack = [anchor]
     while stack:
-        i = stack.pop()
-        for j in adj[i]:
-            if not seen[j]:
-                seen[j] = True
-                stack.append(j)
-    return bool((seen | ~comp_before).all())
+        u = stack.pop()
+        for v in adj[u]:
+            if not seen[v]:
+                seen[v] = True
+                stack.append(v)
+    return seen
 
 
-def _finish_sync(n, edges, anchor, recs):
+def _stays_connected(n, edges, anchor, comp_before) -> bool:
+    return bool((_reach(n, edges, anchor) | ~comp_before).all())
+
+
+def _finish_sync(n, edges, anchor):
     s_g, R_g, t_g, comp = _sync_solve(n, edges, anchor)
     return [((float(s_g[i]), R_g[i], t_g[i]) if comp[i] else None) for i in range(n)]
 

@@ -191,3 +191,32 @@ def test_synchronize_sim3_closes_the_loop():
     # And the sync utility reports a transform for every (connected) cluster.
     transforms = synchronize_sim3(sorted(recs, key=lambda r: -r.num_registered))
     assert all(tr is not None for tr in transforms)
+
+
+def test_sync_audit_drops_inconsistent_scale_edge():
+    """_audit_edges: on a redundant (cycle) graph, one edge whose relative
+    scale disagrees with the rest is dropped and the synchronized scales
+    recover; the same bad edge in a TREE is kept (dropping would disconnect)
+    — the 10k scale-chimera failure mode and its two defenses."""
+    from sfm_tpu.pipeline.merge import _audit_edges, _sync_solve
+
+    I = np.eye(3)
+    z = np.zeros(3)
+    # 4 clusters on a cycle, all true transforms identity (s=1): consistent
+    # edges s_ij=1 except a planted 0-1 edge claiming s=100.
+    good = [(0, 1, 100.0, I, z, 10.0),  # the liar
+            (1, 2, 1.0, I, z, 10.0),
+            (1, 3, 1.0, I, z, 10.0),   # second cycle through node 1 —
+            (2, 3, 1.0, I, z, 10.0),   # disambiguates which edge lies
+            (0, 3, 1.0, I, z, 10.0),
+            (0, 2, 1.0, I, z, 10.0)]
+    pruned = _audit_edges(4, list(good), anchor=0)
+    assert len(pruned) == 5 and all(e[2] == 1.0 for e in pruned)
+    s_g, _, _, comp = _sync_solve(4, pruned, 0)
+    assert comp.all()
+    np.testing.assert_allclose(s_g, 1.0, rtol=1e-6)
+
+    # Tree: the liar cannot be dropped without disconnecting; audit keeps it.
+    tree = [(0, 1, 100.0, I, z, 10.0), (1, 2, 1.0, I, z, 10.0)]
+    kept = _audit_edges(3, list(tree), anchor=0)
+    assert len(kept) == 2
