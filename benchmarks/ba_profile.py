@@ -45,7 +45,16 @@ def main():
         _ = np.asarray(jax.tree.leaves(out)[0])
         print(f"{name}: {(time.perf_counter() - t0) * 1000:.1f} ms", flush=True)
 
+    @jax.jit
+    def matvec16(p):
+        ne = core.build_normal_equations(p, p.cam_params, p.points, lam, cfg)
+        rhs = core._schur_rhs(ne, p)
+        def body(_, v):
+            return core._schur_matvec(ne, p, v) / (jnp.linalg.norm(v) + 1e-20)
+        return jnp.sum(jax.lax.fori_loop(0, 16, body, rhs))
+
     timed("normal_eq (resid+jac+segsums+Minv)", ne_only)
+    timed("normal_eq + 16 matvecs", matvec16)
     timed("normal_eq + 16-iter PCG", pcg_only)
 
 
