@@ -165,6 +165,11 @@ class PartitionConfig:
                                         # the final unbend needs more iterations
                                         # than the incremental loop's solves and
                                         # exits early on convergence anyway
+    refine_rounds: int = 8              # iterative global refinement: rounds of
+                                        # proximity track-merge -> global BA
+                                        # (COLMAP IterativeGlobalRefinement
+                                        # analog; 0 disables). Stops early when
+                                        # a round fuses no tracks.
 
 
 @dataclass(frozen=True)

@@ -468,6 +468,22 @@ def merge_tracks_by_correspondence(
     pa, pb2 = pa[keep], pb2[keep]
     if len(pa) == 0:
         return 0
+    n = _apply_point_merges(rec, pa, pb2)
+    if verbose and n:
+        print(f"[sfm_tpu] track merge: absorbed {n} fragment points "
+              f"({len(pa)} voted pairs)")
+    return n
+
+
+def _apply_point_merges(rec: Reconstruction, pa: np.ndarray, pb: np.ndarray) -> int:
+    """Union-find the accepted point pairs and rewrite `rec` in place:
+    absorbed points invalidate, their observations remap to the surviving
+    root (observation-count-weighted mean position — the follow-up polish
+    BA refines it), and (image, kp)-duplicate rows created by the remap are
+    dropped. Returns the number of absorbed points."""
+    pts = rec.points
+    pv = rec.point_valid
+    val_rows = pv[rec.obs_point]
 
     # Union-find with path halving over the accepted pairs.
     parent = np.arange(len(pts), dtype=np.int64)
@@ -478,15 +494,13 @@ def merge_tracks_by_correspondence(
             x = parent[x]
         return x
 
-    for x, y in zip(pa, pb2):
+    for x, y in zip(pa, pb):
         rx, ry = find(int(x)), find(int(y))
         if rx != ry:
             parent[max(rx, ry)] = min(rx, ry)
     root = np.array([find(i) for i in range(len(pts))], dtype=np.int64)
     absorbed = (root != np.arange(len(pts))) & pv
 
-    # Root position = observation-count-weighted mean of its members (the
-    # follow-up polish BA refines it; the mean just keeps the init sane).
     w = np.bincount(rec.obs_point[val_rows], minlength=len(pts)).astype(np.float64)
     w = np.where(pv, np.maximum(w, 1.0), 0.0)
     sum_xyz = np.zeros((len(pts), 3))
@@ -506,10 +520,156 @@ def merge_tracks_by_correspondence(
     rec.obs_image = rec.obs_image[sel]
     rec.obs_kp = rec.obs_kp[sel]
     rec.obs_uv = rec.obs_uv[sel]
-    n = int(absorbed.sum())
+    return int(absorbed.sum())
+
+
+def _so3_exp_np(rvecs: np.ndarray) -> np.ndarray:
+    """Batched numpy angle-axis -> rotation matrices (host-side gating paths
+    must not pay a remote-device round trip per call)."""
+    rvecs = np.asarray(rvecs, np.float64)
+    th = np.linalg.norm(rvecs, axis=-1, keepdims=True)
+    th = np.where(th < 1e-12, 1e-12, th)
+    k = rvecs / th
+    K = np.zeros(rvecs.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    s = np.sin(th)[..., None]
+    c = (1.0 - np.cos(th))[..., None]
+    return np.eye(3) + s * K + c * (K @ K)
+
+
+def _project_np(x_world: np.ndarray, R: np.ndarray, t: np.ndarray, intr: np.ndarray) -> np.ndarray:
+    """Host-side projection matching geometry.projection.project: per-row
+    world point -> pixel under the row's camera (radial k1/k2 model)."""
+    xc = np.einsum("oij,oj->oi", R, x_world) + t
+    z = xc[:, 2]
+    z = np.where(np.abs(z) < 1e-8, np.where(z < 0, -1e-8, 1e-8), z)
+    xy = xc[:, :2] / z[:, None]
+    r2 = (xy * xy).sum(-1)
+    xy = xy * (1.0 + r2 * (intr[:, 4] + r2 * intr[:, 5]))[:, None]
+    return xy * intr[:, :2] + intr[:, 2:4]
+
+
+def merge_tracks_by_proximity(
+    rec: Reconstruction, max_px: float = 6.0, knn: int = 8,
+    radius_frac: float = 0.35, gate_obs_cap: int = 64, verbose: bool = False,
+) -> int:
+    """Fuse duplicated tracks by 3D proximity + union-reprojection fitness
+    (COLMAP retriangulation/MergeTracks analog, SURVEY.md §2.5/§2.7).
+
+    Divide-and-conquer over a sequentially-matched capture leaves every
+    physical point as one copy PER CLUSTER ARC: the match graph has no
+    long-range edges, so correspondence votes cannot fuse copies whose
+    observing images were never matched (the 10k ladder's bend postmortem —
+    6301 points for ~450 physical blobs, zero tracks spanning >2 arcs, and a
+    global BA that cannot see the low-frequency bend because no constraint
+    spans it). Geometry can: two copies of one physical point sit close in
+    3D (adjacent-arc copies: median 2-7% of scene scale) and a single
+    position reprojects acceptably into BOTH tracks' observations, while two
+    genuinely distinct points at similar 3D separation reproject tens of px
+    off at SfM camera/focal geometry.
+
+    Per call: for each valid point, its knn nearest valid neighbors within
+    radius_frac * (RMS scene scale) become candidate pairs; a pair is
+    accepted when the observation-weighted merged position reprojects with
+    mean error <= max_px into EACH track separately (per-side gate: a long
+    healthy track must not vote down its own absorption of a short bad one);
+    accepted pairs are greedily matched (each point merges at most once per
+    call, best-fit first) so one call never chain-collapses a whole
+    neighborhood through an unchecked transitive union. Interleave calls
+    with global BA (`partition._polish_phase` refine rounds): each merge
+    adds long-range rigidity, the next BA straightens the model, which
+    brings farther copies under the gate — the loop converges when no pair
+    passes. Host numpy throughout (candidate generation is a KD-tree query;
+    the gate is O(pairs * gate_obs_cap) projections).
+    """
+    from scipy.spatial import cKDTree
+
+    pv = rec.point_valid
+    ids = np.where(pv)[0]
+    if len(ids) < 2:
+        return 0
+    pts = rec.points[ids]
+    centroid = pts.mean(0)
+    scale = float(np.sqrt(((pts - centroid) ** 2).sum(-1).mean()))
+    radius = radius_frac * max(scale, 1e-9)
+
+    tree = cKDTree(pts)
+    k = min(knn + 1, len(ids))
+    dist, nbr = tree.query(pts, k=k, distance_upper_bound=radius)
+    # Drop self-matches and out-of-radius fills; canonicalize (a < b).
+    src = np.repeat(np.arange(len(ids)), k - 1)
+    dst = nbr[:, 1:].ravel()
+    dd = dist[:, 1:].ravel()
+    ok = np.isfinite(dd) & (dst < len(ids))
+    a_loc = np.minimum(src[ok], dst[ok])
+    b_loc = np.maximum(src[ok], dst[ok])
+    pair_key = np.unique(a_loc.astype(np.int64) << 32 | b_loc.astype(np.int64))
+    if len(pair_key) == 0:
+        return 0
+    pa = ids[(pair_key >> 32).astype(np.int64)]
+    pb = ids[(pair_key & 0xFFFFFFFF).astype(np.int64)]
+
+    # Per-point observation index (sorted-by-point rows, capped per track).
+    val_rows = np.where(pv[rec.obs_point])[0]
+    order = val_rows[np.argsort(rec.obs_point[val_rows], kind="stable")]
+    op_sorted = rec.obs_point[order]
+    starts = np.searchsorted(op_sorted, np.arange(len(rec.points)))
+    counts = np.bincount(op_sorted, minlength=len(rec.points))
+    cap_counts = np.minimum(counts, gate_obs_cap)
+
+    def _side_rows(pids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Observation rows (into rec.obs_*) for each pair's side + the pair
+        index of every row. Long tracks are strided down to gate_obs_cap."""
+        c = cap_counts[pids]
+        total = int(c.sum())
+        pair_of_row = np.repeat(np.arange(len(pids)), c)
+        # Within-pair offsets 0..c-1 without a Python loop.
+        off = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+        stride = np.maximum(counts[pids] // np.maximum(c, 1), 1)
+        rows = order[starts[pids][pair_of_row] + off * stride[pair_of_row]]
+        return rows, pair_of_row
+
+    # Merged candidate position: observation-count-weighted mean.
+    w_a = counts[pa].astype(np.float64)[:, None]
+    w_b = counts[pb].astype(np.float64)[:, None]
+    m_pos = (w_a * rec.points[pa] + w_b * rec.points[pb]) / np.maximum(w_a + w_b, 1e-9)
+
+    R_all = _so3_exp_np(rec.rvecs)
+    side_err = []
+    for pids in (pa, pb):
+        rows, pair_of_row = _side_rows(pids)
+        img = rec.obs_image[rows]
+        proj = _project_np(m_pos[pair_of_row], R_all[img], rec.tvecs[img],
+                           rec.intrinsics[img])
+        err = np.linalg.norm(proj - rec.obs_uv[rows], axis=1)
+        mean = np.bincount(pair_of_row, weights=err, minlength=len(pa))
+        mean /= np.maximum(np.bincount(pair_of_row, minlength=len(pa)), 1)
+        side_err.append(mean)
+    worst = np.maximum(side_err[0], side_err[1])
+    acc = np.where(worst <= max_px)[0]
+    if len(acc) == 0:
+        return 0
+
+    # Greedy best-fit matching: each point participates in at most one merge
+    # per call (transitive unions within a call would be unchecked).
+    used = np.zeros(len(rec.points), bool)
+    sel_a, sel_b = [], []
+    for i in acc[np.argsort(worst[acc])]:
+        x, y = int(pa[i]), int(pb[i])
+        if used[x] or used[y]:
+            continue
+        used[x] = used[y] = True
+        sel_a.append(x)
+        sel_b.append(y)
+    if not sel_a:
+        return 0
+    n = _apply_point_merges(rec, np.asarray(sel_a), np.asarray(sel_b))
     if verbose and n:
-        print(f"[sfm_tpu] track merge: absorbed {n} fragment points "
-              f"({len(pa)} voted pairs)")
+        print(f"[sfm_tpu] proximity track merge: fused {n} duplicate points "
+              f"({len(pair_key)} candidates, {len(acc)} passed the "
+              f"{max_px:.1f}px union-reprojection gate)")
     return n
 
 

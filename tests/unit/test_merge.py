@@ -220,3 +220,65 @@ def test_sync_audit_drops_inconsistent_scale_edge():
     tree = [(0, 1, 100.0, I, z, 10.0), (1, 2, 1.0, I, z, 10.0)]
     kept = _audit_edges(3, list(tree), anchor=0)
     assert len(kept) == 2
+
+
+def test_merge_tracks_by_proximity():
+    """Geometric track consolidation (merge.py): duplicated points whose
+    copies reproject compatibly fuse WITHOUT any correspondence evidence
+    (the divide-and-conquer regime: the match graph has no edges between
+    the copies' observing images); genuinely distinct nearby points whose
+    merged position reprojects tens of px off stay split; a triple copy
+    collapses over two calls (one merge per point per call)."""
+    from sfm_tpu.pipeline.merge import merge_tracks_by_proximity
+
+    scene = make_orbit_scene(num_cameras=8, num_points=40, noise_px=0.0, seed=7)
+    rec = scene_to_reconstruction(scene)
+    M = scene.num_points
+    # Work only with points that are (a) visible in every camera and
+    # (b) >= 0.2 apart from every other point (focal 600 / radius 4 =>
+    # ~150 px per unit of 3D separation: 0.2 apart reprojects ~15px off
+    # when merged, 0.01-offset copies ~0.75px — cleanly across the 6px gate).
+    vis_all = np.where(scene.visible.all(0))[0]
+    chosen = []
+    for p in vis_all:
+        if all(np.linalg.norm(scene.points[p] - scene.points[q]) >= 0.2 for q in chosen):
+            chosen.append(int(p))
+        if len(chosen) == 7:
+            break
+    assert len(chosen) == 7
+    pairs, triple = chosen[:6], chosen[6]
+
+    obs_point = rec.obs_point.copy()
+    new_pts = []
+    # Six points split into two copies (cameras 0-3 keep the original id,
+    # cameras 4-7 move to a copy offset 0.01 in x).
+    for k, p in enumerate(pairs):
+        npid = M + k
+        obs_point[(rec.obs_point == p) & (rec.obs_image >= 4)] = npid
+        new_pts.append(scene.points[p] + [0.01, 0, 0])
+    # One point split into THREE copies (cams 0-2 / 3-5 / 6-7).
+    c1, c2 = M + 6, M + 7
+    obs_point[(rec.obs_point == triple) & (rec.obs_image >= 3) & (rec.obs_image < 6)] = c1
+    obs_point[(rec.obs_point == triple) & (rec.obs_image >= 6)] = c2
+    new_pts += [scene.points[triple] + [0, 0.01, 0], scene.points[triple] - [0.01, 0, 0]]
+
+    rec.obs_point = obs_point
+    rec.points = np.concatenate([rec.points, np.asarray(new_pts)]).astype(np.float32)
+    rec.point_valid = np.concatenate([rec.point_valid, np.ones(8, bool)])
+    rec.point_errors = np.zeros(len(rec.points), np.float32)
+    n_before = int(rec.point_valid.sum())
+
+    n1 = merge_tracks_by_proximity(rec, max_px=6.0)
+    # All six pair-copies fuse; the triple loses exactly one copy (greedy
+    # matching allows each point one merge per call); nothing else fuses —
+    # every distinct-point pair reprojects above the gate.
+    assert n1 == 7, n1
+    n2 = merge_tracks_by_proximity(rec, max_px=6.0)
+    assert n2 == 1, n2
+    assert int(rec.point_valid.sum()) == n_before - 8
+    assert merge_tracks_by_proximity(rec, max_px=6.0) == 0
+    # Remapped observations: every surviving row reprojects tightly (the
+    # fused position is the obs-weighted mean of 0.01-offset copies).
+    assert rec.obs_point.max() < len(rec.points)
+    assert rec.point_valid[rec.obs_point].all()
+    assert float(rec.reprojection_errors().max()) < 2.0
