@@ -7,6 +7,13 @@ cg=64, 40 LM iters). This script rebuilds that problem two ways:
   python benchmarks/polish_repro.py <ladder_cache_dir>   # real artifact
   python benchmarks/polish_repro.py                      # synthetic twin
 
+Also the 10k-bend LM postmortem bench: REPRO_DEBUG=1 prints per-LM-step
+diagnostics (accept/reject, |dc|, CG residual, and a step-scale sweep that
+separates "CG step is garbage" from "quadratic model breaks down"), and
+REPRO_FUSE=N applies N proximity track-merge rounds first to reproduce the
+post-fusion state where the refine loop's global BA froze (RMSE pinned at
+1.1993 across rounds while reproj climbed 0.49->2.2px).
+
 Synthetic twin: a Reconstruction with the same shape signature — few
 points with VERY long tracks (600 physical blobs seen by thousands of
 cameras -> mean track length ~180), which is the regime the ba_sweep
@@ -118,10 +125,11 @@ def main():
     from sfm_tpu.ba.core import bundle_adjust
     from sfm_tpu.config import BAConfig
 
+    stage = os.environ.get("REPRO_STAGE", "merged_prepolish")
     if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]):
         from sfm_tpu.scene.artifacts import ArtifactStore
-        rec = ArtifactStore(sys.argv[1]).load_reconstruction(stage="merged_prepolish")
-        print(f"loaded merged_prepolish: {rec.num_registered} cams, "
+        rec = ArtifactStore(sys.argv[1]).load_reconstruction(stage=stage)
+        print(f"loaded {stage}: {rec.num_registered} cams, "
               f"{rec.num_points} pts, {len(rec.obs_point)} obs")
     else:
         C = int(os.environ.get("REPRO_C", 10000))
@@ -129,6 +137,18 @@ def main():
         O = int(os.environ.get("REPRO_O", 1050000))
         rec = synthetic_merged(C, P, O)
         print(f"synthetic merged twin: C={C} P={P} O_target={O}")
+
+    n_fuse = int(os.environ.get("REPRO_FUSE", 0))
+    if n_fuse:
+        from sfm_tpu.pipeline.merge import merge_tracks_by_proximity
+        from sfm_tpu.scene.state import filter_observations
+        for k in range(n_fuse):
+            n = merge_tracks_by_proximity(rec, max_px=6.0, verbose=True)
+            print(f"fuse round {k}: fused={n} pts={int(rec.point_valid.sum())}")
+            if n == 0:
+                break
+        pre = filter_observations(rec, 32.0)  # _merged_polish's sanitation gate
+        print(f"sanitation: dropped {pre} obs > 32px")
 
     if os.environ.get("REPRO_NO_BIGNE"):
         import sfm_tpu.ba.core as core
@@ -162,14 +182,25 @@ def main():
           f"(incl. compile on first run)")
 
 
-def _debug_steps(prob, cfg, n_steps: int = 4):
+def _debug_steps(prob, cfg, n_steps: int | None = None):
     """Host-driven LM iterations with per-step diagnostics (the jitted
-    while_loop hides why steps are rejected)."""
+    while_loop hides why steps are rejected).
+
+    Per step, besides the full-step cost, probes:
+      - a step-scale sweep (alpha in {0.5, 0.1, 0.01}) — decreasing cost at
+        small alpha but not alpha=1 means the CG step overshoots the valid
+        region of the quadratic model (damping/CG-quality problem), while
+        increasing cost at EVERY alpha means the step is not even a descent
+        direction (normal equations / preconditioner / matvec bug);
+      - point-only (alpha*dp, dc=0) — whether back-substitution alone helps.
+    """
     import jax
     import jax.numpy as jnp
 
     from sfm_tpu.ba import core
 
+    if n_steps is None:
+        n_steps = int(os.environ.get("REPRO_DEBUG_STEPS", 4))
     lam = float(cfg.initial_lambda)
     cams, pts = prob.cam_params, prob.points
     cost = float(core.compute_cost(prob, cams, pts, cfg))
@@ -184,11 +215,18 @@ def _debug_steps(prob, cfg, n_steps: int = 4):
         dp = jnp.where(prob.point_fixed[:, None], 0.0, dp)
         resid = core._schur_matvec(ne, prob, dc) - rhs
         new_cost = float(core.compute_cost(prob, cams + dc, pts + dp, cfg))
+        sweep = {
+            a: float(core.compute_cost(prob, cams + a * dc, pts + a * dp, cfg))
+            for a in (0.5, 0.1, 0.01)
+        }
+        dp_only = float(core.compute_cost(prob, cams, pts + dp, cfg))
         print(f"it{it}: lam={lam:.2e} cost={cost:.6f} new={new_cost:.6f} "
               f"|dc|={float(jnp.linalg.norm(dc)):.3e} |dp|={float(jnp.linalg.norm(dp)):.3e} "
               f"nan(dc)={int(jnp.isnan(dc).sum())} nan(dp)={int(jnp.isnan(dp).sum())} "
               f"|rhs|={float(jnp.linalg.norm(rhs)):.3e} "
               f"cg_rel={float(jnp.linalg.norm(resid) / (jnp.linalg.norm(rhs) + 1e-20)):.3e}")
+        print(f"     sweep: " + " ".join(f"a={a}:{c:.6f}" for a, c in sweep.items())
+              + f" dp_only:{dp_only:.6f}", flush=True)
         if new_cost < cost:
             cams, pts, cost = cams + dc, pts + dp, new_cost
             lam = max(lam / cfg.lambda_down, cfg.min_lambda)

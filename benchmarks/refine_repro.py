@@ -51,6 +51,7 @@ def main():
           f"obs={rec.num_observations} reproj={rec.mean_reprojection_error():.3f}px "
           f"RMSE={r0:.4f}", flush=True)
 
+    caps = None
     for rnd in range(1, rounds + 1):
         t0 = time.perf_counter()
         n = merge_tracks_by_proximity(
@@ -58,7 +59,7 @@ def main():
         if n == 0:
             print(f"round {rnd}: converged (no fusable pairs)")
             break
-        _merged_polish(rec, cfg)
+        caps = _merged_polish(rec, cfg, caps=caps)
         r, _, _ = rmse_vs_gt(rec, gt_rvecs, gt_tvecs)
         print(f"round {rnd}: fused={n} pts={int(rec.point_valid.sum())} "
               f"obs={rec.num_observations} reproj={rec.mean_reprojection_error():.3f}px "

@@ -233,7 +233,14 @@ def _polish_phase(
     )
 
     if cfg.partition.merge_global_ba and merged.num_points > 4:
-        _merged_polish(merged, cfg)
+        # Capacity threading: every polish in this phase solves the SAME
+        # cameras over monotonically shrinking obs/point sets (filters drop,
+        # proximity merges fuse), so reusing the first solve's tight
+        # capacities keeps one compiled LM program alive across all refine
+        # rounds (a fresh tight P_cap per round = a 20-40s remote compile
+        # per round at 10k scale). _merged_polish re-validates fit — the
+        # rescue pass APPENDS observations and may outgrow the caps.
+        caps = _merged_polish(merged, cfg)
         # Second consolidation at a tighter gate on the straightened model:
         # fragments the pre-polish distance gate rejected (cluster-alignment
         # error) are now adjacent; fuse and re-polish.
@@ -248,7 +255,7 @@ def _polish_phase(
         if not merged.registered.all():
             n2 = _rescue_unregistered(merged, feats, graph, intrinsics, cfg)
         if n2 or n_merged2:
-            _merged_polish(merged, cfg)
+            caps = _merged_polish(merged, cfg, caps=caps)
 
         # Iterative global refinement (COLMAP IterativeGlobalRefinement
         # analog): proximity-merge duplicated tracks -> global BA -> repeat.
@@ -269,7 +276,7 @@ def _polish_phase(
             )
             if n_fused == 0:
                 break
-            _merged_polish(merged, cfg)
+            caps = _merged_polish(merged, cfg, caps=caps)
 
 
 def _rescue_unregistered(
@@ -399,11 +406,19 @@ _POLISH_MAX_CAMERAS = 16384
 _WINDOW_CAMERAS = 2048
 
 
-def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
+def _merged_polish(
+    merged: Reconstruction, cfg: PipelineConfig,
+    caps: tuple[int, int] | None = None,
+) -> tuple[int, int] | None:
     """BA -> filter -> BA on the merged model (the engine's final-polish
     schedule): sim3-chained clusters carry alignment drift and a few
     wrongly-linked cross-cluster tracks; one robust solve leaves those as
-    gross outliers, so filter and re-solve."""
+    gross outliers, so filter and re-solve.
+
+    caps: (obs_capacity, point_capacity) from a previous polish of the same
+    model to reuse its compiled LM program; ignored (rebuilt tight) when the
+    model has outgrown them. Returns the capacities actually used on the
+    global path, or None when the windowed fallback ran."""
     import dataclasses
 
     import jax
@@ -428,8 +443,14 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
         )
         if cfg.verbose and pre:
             print(f"[sfm_tpu] pre-polish sanitation: dropped {pre} gross-outlier obs")
+        if caps is not None:
+            # Caller-supplied caps fit only while the model shrinks; the
+            # rescue pass appends observations (and can revive points), so
+            # re-validate against build_problem's selection exactly.
+            sel = merged.point_valid[merged.obs_point] & merged.registered[merged.obs_image]
+            if int(sel.sum()) > caps[0] or int(np.unique(merged.obs_point[sel]).size) > caps[1]:
+                caps = None
         failed = 0
-        caps: tuple[int, int] | None = None
         for round_ in range(2):
             # tight=True: the polish is a one-shot solve, so fine-grained
             # capacities beat geometric buckets (C=9998 would otherwise pad
@@ -474,7 +495,7 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
             if dropped == 0:
                 break
         if not failed:
-            return
+            return caps
 
     # Fallback polish: 50%-overlapping windows of registered cameras, each
     # window a proven compile size; cameras already polished this sweep are
@@ -507,3 +528,4 @@ def _merged_polish(merged: Reconstruction, cfg: PipelineConfig) -> None:
         if cfg.verbose:
             print(f"[sfm_tpu] windowed merge polish sweep {sweep}: "
                   f"{(len(reg) + step - 1) // step} windows, dropped {dropped} outlier obs")
+    return None
