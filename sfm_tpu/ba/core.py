@@ -211,6 +211,23 @@ def _residuals_flat(cams_o, pts_o, intr_o, uv):
     return jnp.stack([fx * (x * s) + cx - uv[:, 0], fy * (y * s) + cy - uv[:, 1]], axis=-1)
 
 
+def _obs_depths(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame depth z per observation [O] (third row of the Rodrigues
+    transform only — scalar columns, no [O, 3, 3] tensor)."""
+    cams_o = cam_params[prob.obs_cam]
+    pts_o = points[prob.obs_point]
+    wx, wy, wz = cams_o[:, 0], cams_o[:, 1], cams_o[:, 2]
+    t2 = wx * wx + wy * wy + wz * wz
+    th = jnp.sqrt(jnp.maximum(t2, 1e-24))
+    small = t2 < 1e-8
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / t2)
+    r20 = -a * wy + b * wx * wz
+    r21 = a * wx + b * wy * wz
+    r22 = 1.0 + b * (wz * wz - t2)
+    return r20 * pts_o[:, 0] + r21 * pts_o[:, 1] + r22 * pts_o[:, 2] + cams_o[:, 5]
+
+
 def _rot_entries(wx, wy, wz, a, b):
     """Rodrigues I + a [w]x + b [w]x^2 as nine [O] scalar columns (the XLA
     twin of kernels/schur_spmv._rot_cols)."""
@@ -222,16 +239,26 @@ def _rot_entries(wx, wy, wz, a, b):
     )
 
 
-def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig, axis_name=None) -> jnp.ndarray:
-    """Robustified mean cost over valid observations."""
+def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig, axis_name=None,
+                 z_floor: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Robustified mean cost over valid observations.
+
+    z_floor: optional near-plane depth floor — observations whose
+    camera-frame depth at THESE parameters is at/below it are excluded,
+    matching the NE assembly's gate (see _SolveInvariants.z_floor) so the
+    LM accept test compares the same objective the step minimized.
+    """
     cams_o = cam_params[prob.obs_cam]
     pts_o = points[prob.obs_point]
     intr_o = prob.intrinsics[prob.obs_cam]
+    w = prob.obs_w
+    if z_floor is not None:
+        w = jnp.where(_obs_depths(prob, cam_params, points) > z_floor, w, 0.0)
     r = _residuals_flat(cams_o, pts_o, intr_o, prob.obs_uv)
     s = jnp.sum(r * r, axis=-1)
-    c = robust_cost(s, cfg.robust_loss, cfg.robust_scale_px) * prob.obs_w
+    c = robust_cost(s, cfg.robust_loss, cfg.robust_scale_px) * w
     num = _maybe_psum(jnp.sum(c), axis_name)
-    den = _maybe_psum(jnp.sum(prob.obs_w), axis_name)
+    den = _maybe_psum(jnp.sum(w), axis_name)
     return num / jnp.maximum(den, 1.0)
 
 
@@ -258,6 +285,12 @@ class _NormalEq(NamedTuple):
     cam_perm: jnp.ndarray | None = None
     cam_bounds: jnp.ndarray | None = None
     mv_big_tile: int = 0
+    # sqrt(|diag S|) per camera param [C, D]: the Jacobi equilibration scale
+    # shared by the preconditioner inversion and the scaled-space PCG. At
+    # merged-polish scale (C~10k) diag(S) spans 1e-6 (damping floor on
+    # padding) to ~1e12 (near-plane observations); CG run in the RAW space
+    # overflowed fp32 in p.S p (inf * 0 -> NaN) and froze every LM step.
+    sdiag: jnp.ndarray | None = None
 
 
 def _cam_reduce_sorted(values: jnp.ndarray, perm: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
@@ -464,6 +497,15 @@ class _SolveInvariants(NamedTuple):
     cam_perm: jnp.ndarray | None = None    # [O] camera-sorting permutation (large C)
     cam_bounds: jnp.ndarray | None = None  # [C+1] camera segment offsets
     mv_big_tile: int = 0                   # large-C coupling-matvec tile
+    # Near-plane depth floor (scalar, from the initial weighted RMS depth).
+    # Observations whose CURRENT-params depth falls at/below it are
+    # zero-weighted in every NE build and cost evaluation: their f/z^2
+    # Jacobians otherwise inflate the normal equations by ~6 decades and the
+    # fp32 implicit Schur matvec loses the true curvature to cancellation
+    # (negative p.Sp froze the 10k merged polish). Evaluated at the CURRENT
+    # parameters each LM iteration — a single large accepted point step can
+    # move a fused point across a camera plane mid-solve.
+    z_floor: jnp.ndarray | None = None
 
 
 def _solve_invariants(prob: BAProblem, cam_params, cfg: BAConfig, axis_name) -> _SolveInvariants:
@@ -512,6 +554,17 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     P = prob.num_points
     if inv is None:
         inv = _solve_invariants(prob, cam_params, cfg, axis_name)
+    if inv.z_floor is not None:
+        # Near-plane gate at the CURRENT parameters (see _SolveInvariants).
+        # The XLA paths read prob.obs_w via sqrt_w folding; the fused NE
+        # kernels read the weight from static_t row 2 (baked once per solve
+        # by _ne_static_misc), so that row is refreshed with the gated
+        # weights as well.
+        z = _obs_depths(prob, cam_params, points)
+        w_gated = jnp.where(z > inv.z_floor, prob.obs_w, 0.0)
+        prob = prob._replace(obs_w=w_gated)
+        if inv.static_t is not None:
+            inv = inv._replace(static_t=inv.static_t.at[2].set(w_gated))
     W_t = None
     if _use_fused_ne(prob, cam_params, axis_name):
         Hcc, Hpp, W_t, bc, bp = _ne_blocks_fused(prob, cam_params, points, cfg,
@@ -626,7 +679,7 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
 
     keep_t = mv_any or W is None
     return _NormalEq(Hcc=Hcc_d, Hpp_inv=Hpp_inv, W=W, bc=bc, bp=bp, M_inv=M_inv,
-                     point_bounds=inv.bounds,
+                     point_bounds=inv.bounds, sdiag=dg,
                      w_t=W_t if keep_t else None,
                      hinv_t=hinv_t if keep_t else None,
                      lids=inv.lids, mv_tile=inv.mv_tile,
@@ -748,34 +801,54 @@ def _schur_rhs(ne: _NormalEq, prob: BAProblem, axis_name=None) -> jnp.ndarray:
 
 def _pcg(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig, axis_name=None) -> jnp.ndarray:
     """Preconditioned CG on the reduced camera system. Fixed iteration cap,
-    early termination by freezing updates once converged (static shapes)."""
+    early termination by freezing updates once converged (static shapes).
+
+    Runs in the Jacobi-equilibrated space: solve (D^-1 S D^-1) y = D^-1 rhs
+    with D = diag(sqrt|diag S|) (ne.sdiag, shared with the preconditioner
+    inversion), return x = D^-1 y. Mathematically the same solution, but
+    every iterate is O(1)-scaled: on the 10k merged polish diag(S) spans
+    ~18 decades (1e-6 damping floor on padded cameras to ~1e12 on blocks
+    touched by near-plane observations) and RAW-space fp32 CG overflowed in
+    p.(S p) — inf * 0 -> NaN poisoned every LM step, freezing the solve
+    (the round-3 "bent 10k model" root cause). The equilibrated block
+    preconditioner is M_eq^-1 = D M^-1 D (no extra inversion).
+
+    A non-finite or non-positive curvature p.(S p) (indefinite rounding at
+    extreme conditioning) permanently freezes further updates — CG keeps
+    the best x found instead of diverging.
+    """
+    d = ne.sdiag
+    dinv = 1.0 / d
 
     def precond(r):
-        return jnp.einsum("cij,cj->ci", ne.M_inv, r)
+        return d * jnp.einsum("cij,cj->ci", ne.M_inv, d * r)
 
-    x = jnp.zeros_like(rhs)
-    r = rhs
+    b = dinv * rhs
+    x = jnp.zeros_like(b)
+    r = b
     z = precond(r)
     p = z
     rz = jnp.sum(r * z)
-    rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-20
+    rhs_norm = jnp.sqrt(jnp.sum(b * b)) + 1e-20
 
     def body(_, state):
-        x, r, p, rz = state
-        Ap = _schur_matvec(ne, prob, p, axis_name)
-        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
-        done = jnp.sqrt(jnp.sum(r * r)) / rhs_norm < cfg.cg_tolerance
-        alpha = jnp.where(done, 0.0, alpha)
+        x, r, p, rz, dead = state
+        Ap = dinv * _schur_matvec(ne, prob, dinv * p, axis_name)
+        pAp = jnp.sum(p * Ap)
+        dead = dead | ~jnp.isfinite(pAp) | (pAp <= 0.0)
+        done = dead | (jnp.sqrt(jnp.sum(r * r)) / rhs_norm < cfg.cg_tolerance)
+        alpha = jnp.where(done, 0.0, rz / jnp.where(done, 1.0, pAp))
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
-        rz_new = jnp.sum(r * z)
+        rz_new = jnp.where(done, rz, jnp.sum(r * z))
         beta = rz_new / jnp.maximum(rz, 1e-20)
         p = jnp.where(done, p, z + beta * p)
-        return x, r, p, rz_new
+        return x, r, p, rz_new, dead
 
-    x, _, _, _ = jax.lax.fori_loop(0, cfg.cg_iterations, body, (x, r, p, rz))
-    return x
+    x, _, _, _, _ = jax.lax.fori_loop(
+        0, cfg.cg_iterations, body, (x, r, p, rz, jnp.asarray(False)))
+    return dinv * x
 
 
 def _dense_schur_solve(ne: _NormalEq, prob: BAProblem, rhs: jnp.ndarray, cfg: BAConfig) -> jnp.ndarray:
@@ -832,7 +905,27 @@ class BAStats(NamedTuple):
 def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[BAProblem, BAStats]:
     """LM driver shared by the single-chip and sharded paths."""
 
-    cost0 = compute_cost(prob, prob.cam_params, prob.points, cfg, axis_name)
+    # Near-plane/cheirality gate: observations whose point sits at or behind
+    # the camera plane reproject to finite pixels (x/z double sign flip), so
+    # pixel-error filters upstream cannot catch them, and their f/z^2
+    # Jacobians inflate the normal equations by ~6 decades (10 such obs on
+    # the fused 10k model pushed diag(S) to 1e12 and the fp32 Schur matvec
+    # lost the curvature to cancellation). The floor is relative to the
+    # scene's weighted RMS depth (psum-reduced: sharded and single-chip
+    # paths gate identically) — the problem's absolute scale is gauge, not
+    # geometry. The floor is applied at the CURRENT parameters inside every
+    # NE build / cost evaluation (see _SolveInvariants.z_floor): one large
+    # accepted point step can move a fused point across a camera plane
+    # mid-solve.
+    z0 = _obs_depths(prob, prob.cam_params, prob.points)
+    w_sum = _maybe_psum(jnp.sum(prob.obs_w), axis_name)
+    z_rms = jnp.sqrt(
+        _maybe_psum(jnp.sum(prob.obs_w * z0 * z0), axis_name) / jnp.maximum(w_sum, 1.0)
+    )
+    z_floor = 1e-3 * jnp.maximum(z_rms, 1e-9)
+
+    cost0 = compute_cost(prob, prob.cam_params, prob.points, cfg, axis_name,
+                         z_floor=z_floor)
 
     def cond(state):
         _, _, lam, it, done, _ = state
@@ -853,7 +946,7 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
         and prob.num_cameras * n_obs <= (4 << 20)
     )
 
-    inv = _solve_invariants(prob, prob.cam_params, cfg, axis_name)
+    inv = _solve_invariants(prob, prob.cam_params, cfg, axis_name)._replace(z_floor=z_floor)
 
     def body(state):
         cam_params, points, lam, it, _, cost = state
@@ -876,7 +969,8 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
 
         new_cams = cam_params + dc
         new_points = points + dp
-        new_cost = compute_cost(prob, new_cams, new_points, cfg, axis_name)
+        new_cost = compute_cost(prob, new_cams, new_points, cfg, axis_name,
+                                z_floor=z_floor)
 
         accept = new_cost < cost
         cam_params = jnp.where(accept, new_cams, cam_params)

@@ -539,16 +539,21 @@ def _so3_exp_np(rvecs: np.ndarray) -> np.ndarray:
     return np.eye(3) + s * K + c * (K @ K)
 
 
-def _project_np(x_world: np.ndarray, R: np.ndarray, t: np.ndarray, intr: np.ndarray) -> np.ndarray:
+def _project_np(
+    x_world: np.ndarray, R: np.ndarray, t: np.ndarray, intr: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
     """Host-side projection matching geometry.projection.project: per-row
-    world point -> pixel under the row's camera (radial k1/k2 model)."""
+    world point -> (pixel, camera-frame depth) under the row's camera
+    (radial k1/k2 model). Depth is returned so gates can reject
+    behind-camera placements — those reproject to FINITE pixels (x/z double
+    sign flip) and would otherwise pass any pixel-error threshold."""
     xc = np.einsum("oij,oj->oi", R, x_world) + t
     z = xc[:, 2]
-    z = np.where(np.abs(z) < 1e-8, np.where(z < 0, -1e-8, 1e-8), z)
-    xy = xc[:, :2] / z[:, None]
+    zs = np.where(np.abs(z) < 1e-8, np.where(z < 0, -1e-8, 1e-8), z)
+    xy = xc[:, :2] / zs[:, None]
     r2 = (xy * xy).sum(-1)
     xy = xy * (1.0 + r2 * (intr[:, 4] + r2 * intr[:, 5]))[:, None]
-    return xy * intr[:, :2] + intr[:, 2:4]
+    return xy * intr[:, :2] + intr[:, 2:4], z
 
 
 def merge_tracks_by_proximity(
@@ -641,9 +646,13 @@ def merge_tracks_by_proximity(
     for pids in (pa, pb):
         rows, pair_of_row = _side_rows(pids)
         img = rec.obs_image[rows]
-        proj = _project_np(m_pos[pair_of_row], R_all[img], rec.tvecs[img],
-                           rec.intrinsics[img])
+        proj, depth = _project_np(m_pos[pair_of_row], R_all[img], rec.tvecs[img],
+                                  rec.intrinsics[img])
         err = np.linalg.norm(proj - rec.obs_uv[rows], axis=1)
+        # Cheirality: a merged position behind any observing camera fails
+        # the pair outright (finite-pixel sign-flip projections must not
+        # average into an acceptable mean error).
+        err = np.where(depth > 0, err, np.inf)
         mean = np.bincount(pair_of_row, weights=err, minlength=len(pa))
         mean /= np.maximum(np.bincount(pair_of_row, minlength=len(pa)), 1)
         side_err.append(mean)

@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sfm_tpu.geometry.projection import project
+from sfm_tpu.geometry.projection import point_depth, project
 import jax
 import jax.numpy as jnp
 
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 @jax.jit
 def _reproj_err_jit(pts, rv, tv, intr, uv):
     proj = project(pts, rv, tv, intr)
-    return jnp.linalg.norm(proj - uv, axis=-1)
+    return jnp.linalg.norm(proj - uv, axis=-1), point_depth(pts, rv, tv)
 
 
 @dataclass
@@ -64,13 +64,20 @@ class Reconstruction:
         return 0 if self.obs_point is None else len(self.obs_point)
 
     def reprojection_errors(self) -> np.ndarray:
-        """Per-observation reprojection error in pixels. [O].
+        """Per-observation reprojection error in pixels. [O]."""
+        return self.reprojection_errors_depths()[0]
+
+    def reprojection_errors_depths(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-observation (reprojection error px, camera-frame depth). [O].
 
         One jitted call over bucket-padded arrays: the engine evaluates this
         every registration round, and the eager-op version cost seconds per
-        call on a remote device (it was 56% of incremental wall-clock)."""
+        call on a remote device (it was 56% of incremental wall-clock).
+        Depth is exposed for cheirality filtering: a behind-camera point
+        reprojects to a finite pixel (x/z double sign flip), so pixel error
+        alone cannot reject it."""
         if self.num_observations == 0:
-            return np.zeros(0, dtype=np.float32)
+            return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.float32)
         O = self.num_observations
         cap = 1024
         while cap < O:
@@ -85,11 +92,12 @@ class Reconstruction:
         tv[:O] = self.tvecs[self.obs_image]
         intr[:O] = self.intrinsics[self.obs_image]
         uv[:O] = self.obs_uv
-        err = np.asarray(_reproj_err_jit(
+        err, depth = _reproj_err_jit(
             jnp.asarray(pts), jnp.asarray(rv), jnp.asarray(tv),
             jnp.asarray(intr), jnp.asarray(uv),
-        ))
-        return err[:O].astype(np.float32)
+        )
+        return (np.asarray(err)[:O].astype(np.float32),
+                np.asarray(depth)[:O].astype(np.float32))
 
     def mean_reprojection_error(self) -> float:
         """Mean pixel reprojection error over observations of valid points."""
@@ -130,15 +138,17 @@ def filter_observations(rec: Reconstruction, max_err_px: float) -> int:
     filtering), but operating on a materialized Reconstruction — used
     between global-BA passes after a divide-and-conquer merge, where
     wrongly-linked cross-cluster tracks poison the robust solve. Removes
-    observations with reprojection error above max_err_px, invalidates
-    points left with <2 observations, and prunes their remaining rows.
-    Returns the number of observation rows removed.
+    observations with reprojection error above max_err_px OR non-positive
+    camera-frame depth (behind-camera points reproject to finite pixels, so
+    the px gate alone passes them; their f/z^2 Jacobians then blow up the
+    BA normal equations), invalidates points left with <2 observations, and
+    prunes their remaining rows. Returns the number of rows removed.
     """
     if rec.num_observations == 0:
         return 0
     n0 = rec.num_observations
-    errs = rec.reprojection_errors()
-    keep = (errs <= max_err_px) & rec.point_valid[rec.obs_point]
+    errs, depths = rec.reprojection_errors_depths()
+    keep = (errs <= max_err_px) & (depths > 0) & rec.point_valid[rec.obs_point]
     for name in ("obs_point", "obs_image", "obs_kp", "obs_uv"):
         setattr(rec, name, getattr(rec, name)[keep])
     counts = np.bincount(rec.obs_point, minlength=len(rec.points))
