@@ -55,6 +55,16 @@ class MatchConfig:
     guided: bool = False                # epipolar-gated re-match after verification
     guided_ratio: float = 0.9           # relaxed ratio inside the epipolar band
     guided_band_px: float = 3.0         # epipolar gate half-width
+    # Match-graph densification (pruned pair modes only): propose candidate
+    # pairs along a power-of-2 GRAPH-DISTANCE ladder over the verified graph
+    # and verify them. Vocab-tree top-k retrieval spends its whole budget on
+    # nearest neighbors (10k-orbit ladder: every verified edge within +-8
+    # ring images -> ~1250 relative-pose hops around the loop -> an
+    # unremovable low-frequency bend, RMSE 30% of orbit radius); the ladder
+    # probes the graph's own connectivity outward, capture-order-free, and
+    # recovered edges out to +-400 images (25 hops) on the same scene.
+    densify_scales: int = 8             # ladder depth (2^1..2^scales hops); 0 off
+    densify_per_node: int = 2           # frontier samples per node per scale
 
 
 @dataclass(frozen=True)

@@ -104,6 +104,15 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             graph = stages.match_and_verify_stage(
                 feats, pairs, intrinsics, cfg, seed=cfg.seed, prematched=prematched
             )
+            if cfg.pair_mode != "exhaustive" and cfg.match.densify_scales > 0:
+                # Pruned pair modes leave a narrow band graph on sequential
+                # captures (top-k retrieval spends its budget on nearest
+                # neighbors); densify along the graph-distance ladder so
+                # loop-scale drift has constraints to push against
+                # (exhaustive graphs are already complete).
+                graph = stages.densify_graph(
+                    feats, graph, intrinsics, cfg, num_images, seed=cfg.seed + 1
+                )
             if store:
                 store.save_graph(mkey, graph)
 

@@ -398,3 +398,119 @@ def match_and_verify_stage(
         rvec=out_rvec, tvec=out_tvec, ok=out_ok & enough,
         pose_ok=out_pose_ok & enough,
     )
+
+
+_DENSIFY_REACH_BUDGET = 50_000_000  # nnz cap on the reachability matrix
+
+
+def densify_candidate_pairs(
+    pairs_ok: np.ndarray, num_images: int, max_scale: int = 8, per_node: int = 2,
+) -> np.ndarray:
+    """Candidate pairs along a power-of-2 graph-distance ladder
+    (SURVEY.md §2.3 pair proposal, loop-closure completion).
+
+    Top-k retrieval (vocab tree) spends its entire candidate budget on an
+    image's nearest appearance neighbors, so a sequential/orbit capture gets
+    a narrow band graph: at the 10k ladder every verified edge sat within
+    +-8 ring images, ~1250 relative-pose hops around the loop, and the
+    accumulated drift bent the model by 30% of the orbit radius — a
+    deformation NO downstream solver can see (reprojection cost is flat
+    along it). The ladder probes the VERIFIED graph's own connectivity:
+    for scale s = 1..max_scale, each node proposes its frontier extremes at
+    graph distance (2^(s-1), 2^s] — for a band graph those are the two ring
+    directions — and verification keeps whatever the matcher can actually
+    certify (the same scene verified pairs out to +-400 images, turning the
+    loop into ~25 hops). Capture-order-free: only graph structure is used.
+
+    Returns deduped [K, 2] (i < j) candidates excluding existing pairs.
+    """
+    import scipy.sparse as sp
+
+    if len(pairs_ok) == 0 or max_scale <= 0:
+        return np.zeros((0, 2), np.int64)
+    n = num_images
+    A = sp.csr_matrix(
+        (np.ones(len(pairs_ok) * 2, np.bool_),
+         (np.concatenate([pairs_ok[:, 0], pairs_ok[:, 1]]),
+          np.concatenate([pairs_ok[:, 1], pairs_ok[:, 0]]))),
+        shape=(n, n), dtype=np.bool_)
+    reach = (A + sp.identity(n, dtype=np.bool_, format="csr")).astype(np.bool_)
+    out = []
+    for _ in range(max_scale):
+        new = (reach @ reach).astype(np.bool_)
+        # Frontier = reachable at <=2^s hops but not <=2^(s-1) (new is a
+        # superset of reach because reach includes the identity).
+        fr = (new.astype(np.int8) - reach.astype(np.int8)).tocsr()
+        fr.eliminate_zeros()
+        ptr, cols = fr.indptr, fr.indices
+        counts = np.diff(ptr)
+        rows = np.where(counts > 0)[0]
+        if len(rows) == 0:
+            break
+        first = cols[ptr[rows]]
+        out.append(np.stack([rows, first], 1))
+        if per_node >= 2:
+            last = cols[ptr[rows + 1] - 1]
+            out.append(np.stack([rows, last], 1))
+        reach = new
+        if reach.nnz > _DENSIFY_REACH_BUDGET:
+            break
+    if not out:
+        return np.zeros((0, 2), np.int64)
+    cand = np.concatenate(out).astype(np.int64)
+    cand = cand[cand[:, 0] != cand[:, 1]]
+    cand = np.unique(np.stack([cand.min(1), cand.max(1)], 1), axis=0)
+    have = (pairs_ok.astype(np.int64).min(1) << 32) | pairs_ok.astype(np.int64).max(1)
+    key = (cand[:, 0] << 32) | cand[:, 1]
+    return cand[~np.isin(key, have)]
+
+
+def append_match_graph(g: MatchGraph, g_new: MatchGraph) -> tuple[MatchGraph, int]:
+    """Append g_new's verified edges to g, conforming the correspondence
+    width (columns beyond g's budget are truncated; narrower blocks are
+    zero-padded with inlier=False)."""
+    keep = g_new.ok
+    if not keep.any():
+        return g, 0
+    def cat(a, b):
+        b = b[keep]
+        if a.ndim == 2 and b.shape[1] != a.shape[1]:
+            if b.shape[1] > a.shape[1]:
+                b = b[:, :a.shape[1]]
+            else:
+                out = np.zeros((b.shape[0], a.shape[1]), b.dtype)
+                out[:, :b.shape[1]] = b
+                b = out
+        return np.concatenate([a, b], axis=0)
+    pose_ok = g.pose_ok if g.pose_ok is not None else np.ones(len(g.pairs), bool)
+    new_pose_ok = (g_new.pose_ok if g_new.pose_ok is not None
+                   else np.ones(len(g_new.pairs), bool))
+    merged = MatchGraph(
+        pairs=cat(g.pairs, g_new.pairs), idx_i=cat(g.idx_i, g_new.idx_i),
+        idx_j=cat(g.idx_j, g_new.idx_j), inlier=cat(g.inlier, g_new.inlier),
+        num_inliers=cat(g.num_inliers, g_new.num_inliers),
+        num_h_inliers=cat(g.num_h_inliers, g_new.num_h_inliers),
+        rvec=cat(g.rvec, g_new.rvec), tvec=cat(g.tvec, g_new.tvec),
+        ok=cat(g.ok, g_new.ok), pose_ok=cat(pose_ok, new_pose_ok),
+    )
+    return merged, int(keep.sum())
+
+
+def densify_graph(
+    feats: FeatureSet, graph: MatchGraph, intrinsics: np.ndarray,
+    cfg: PipelineConfig, num_images: int, seed: int = 1,
+) -> MatchGraph:
+    """Graph-distance-ladder densification pass: propose, verify, append.
+    See densify_candidate_pairs for why pruned pair modes need this."""
+    cand = densify_candidate_pairs(
+        graph.pairs[graph.ok], num_images,
+        max_scale=cfg.match.densify_scales, per_node=cfg.match.densify_per_node,
+    )
+    if len(cand) == 0:
+        return graph
+    g_new = match_and_verify_stage(feats, cand, intrinsics, cfg, seed=seed)
+    graph, added = append_match_graph(graph, g_new)
+    if cfg.verbose:
+        print(f"[sfm_tpu] densify: {added}/{len(cand)} ladder pairs verified "
+              f"-> {int(graph.ok.sum())} edges")
+    return graph

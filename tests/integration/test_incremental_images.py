@@ -76,3 +76,29 @@ def test_points_in_scene_volume(pipeline_result):
     pts = np.asarray(apply_sim3(s, R, t, jnp.asarray(rec.points[rec.point_valid])))
     inside = (np.abs(pts) < 2.5).all(axis=1)
     assert inside.mean() > 0.9
+
+
+def test_vocab_mode_with_densify():
+    """Vocab-tree pair pruning end-to-end, including the graph-distance
+    ladder densification pass (run.py wires it for pruned pair modes):
+    the pruned + densified graph must still reconstruct the scene."""
+    imgs, scene = render_blob_scene(
+        image_size=(256, 256), num_images=8, num_blobs=140, arc_fraction=0.12, seed=7,
+    )
+    from sfm_tpu.config import VocabConfig
+
+    cfg = PipelineConfig(
+        sift=SiftConfig(max_keypoints=512, max_candidates=2048, num_octaves=3, image_max_dim=256),
+        match=MatchConfig(max_matches=256, min_matches=8, densify_scales=3),
+        vocab=VocabConfig(branching=4, depth=2, num_neighbors=3),
+        ransac=RansacConfig(num_hypotheses=512, min_inliers=10, error_threshold_px=2.0),
+        engine=EngineConfig(
+            init_min_inliers=20, abs_pose_min_inliers=8, local_ba_window=4, global_ba_every=3,
+        ),
+        ba=BAConfig(max_iterations=15),
+        pair_mode="vocab_tree",
+        verbose=False,
+    )
+    rec = sfm_tpu.reconstruct(list(imgs), cfg)
+    assert rec.num_registered >= 6
+    assert rec.mean_reprojection_error() < 1.2
