@@ -168,8 +168,18 @@ class PartitionConfig:
     merge_tracks_min_votes: int = 2     # cross-cluster track consolidation:
                                         # correspondence votes required to fuse
                                         # two merged points (0 disables)
-    merge_tracks_dist_frac: float = 0.05  # ... and max 3D separation as a
-                                          # fraction of the RMS scene scale
+    merge_tracks_dist_frac: float = 0.15  # ... and max 3D separation as a
+                                          # fraction of the RMS scene scale.
+                                          # Adjacent-arc duplicate copies sit
+                                          # at 2-7% on a bent pre-polish
+                                          # model (10k postmortem); the old
+                                          # 0.05 gate blocked exactly the
+                                          # boundary fusions that carry
+                                          # long-range rigidity. >=2 votes
+                                          # from geometrically verified
+                                          # edges carry the discrimination;
+                                          # BA->filter->BA cleans the rare
+                                          # false fusion.
     polish_ba_iterations: int = 40      # LM budget for the merged-model global
                                         # polish (0 = inherit ba.max_iterations);
                                         # the final unbend needs more iterations

@@ -270,7 +270,18 @@ def _polish_phase(
         # next BA needs; straightening brings farther copies under the gate.
         # Converges when a round fuses nothing.
         for _ in range(cfg.partition.refine_rounds):
-            n_fused = merge_tracks_by_proximity(
+            # Correspondence votes first (2D evidence: fusing extends track
+            # spans, which exposes NEW cross-point votes on the same edges
+            # next round — transitive closure over rounds), then geometric
+            # proximity for copies whose images were never matched.
+            n_fused = 0
+            if cfg.partition.merge_tracks_min_votes > 0:
+                n_fused += merge_tracks_by_correspondence(
+                    merged, graph, min_votes=cfg.partition.merge_tracks_min_votes,
+                    dist_frac=cfg.partition.merge_tracks_dist_frac,
+                    verbose=cfg.verbose,
+                )
+            n_fused += merge_tracks_by_proximity(
                 merged, max_px=cfg.engine.max_reprojection_error_px,
                 verbose=cfg.verbose,
             )

@@ -72,6 +72,26 @@ def _build_tracks_native(lib, graph: MatchGraph, num_images: int, max_kp: int, m
     inlier = np.ascontiguousarray(graph.inlier, dtype=np.uint8)
     E, M = idx_i.shape if idx_i.ndim == 2 else (0, 0)
 
+    # The C++ side indexes touched[img * max_kp + kp] without bounds checks
+    # (it is the hot path); an out-of-range keypoint or image id from a
+    # malformed graph would corrupt the heap SILENTLY and crash something
+    # unrelated much later. Validate the whole batch here in vectorized
+    # numpy — microseconds against the union-find's seconds.
+    live = ok.astype(bool)[:, None] & inlier.astype(bool)
+    if live.any():
+        ki, kj = idx_i[live], idx_j[live]
+        e_live = live.any(axis=1)
+        pi = pairs[e_live]
+        if (ki.min() < 0 or kj.min() < 0
+                or ki.max() >= max_kp or kj.max() >= max_kp
+                or pi.min() < 0 or pi.max() >= num_images):
+            raise ValueError(
+                "build_tracks: graph indices out of range "
+                f"(kp in [{min(ki.min(), kj.min())}, {max(ki.max(), kj.max())}] "
+                f"vs max_kp={max_kp}; img in [{pi.min()}, {pi.max()}] "
+                f"vs num_images={num_images})"
+            )
+
     cap = int(inlier.sum()) * 2 + 16
     obs_image = np.empty(cap, np.int32)
     obs_kp = np.empty(cap, np.int32)

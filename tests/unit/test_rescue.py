@@ -4,7 +4,7 @@ via match-graph 2D-3D links (VERDICT r2 missing #2)."""
 
 import numpy as np
 
-from sfm_tpu.config import PipelineConfig
+from sfm_tpu.config import PipelineConfig, RansacConfig
 from sfm_tpu.geometry.projection import camera_center
 from sfm_tpu.pipeline.partition import _rescue_unregistered
 from sfm_tpu.pipeline.stages import FeatureSet, MatchGraph
@@ -69,7 +69,12 @@ def test_rescue_registers_leftover_images():
         ok=np.ones(E, bool), pose_ok=np.ones(E, bool),
     )
 
-    cfg = PipelineConfig(verbose=False)
+    # num_hypotheses=512 matches the integration tests' pnp_ransac shape:
+    # a FRESH late-suite XLA CPU compile of the default-1024 program
+    # segfaulted the whole suite (compiler crash under accumulated
+    # process state; fine in a fresh process). Same coverage, shared
+    # executable.
+    cfg = PipelineConfig(ransac=RansacConfig(num_hypotheses=512), verbose=False)
     feats = _feats_from_scene(scene)
     n = _rescue_unregistered(merged, feats, graph, scene.intrinsics, cfg)
 
@@ -96,6 +101,11 @@ def test_rescue_noop_when_all_registered():
         rvec=np.zeros((0, 3), np.float32), tvec=np.zeros((0, 3), np.float32),
         ok=np.zeros(0, bool), pose_ok=np.zeros(0, bool),
     )
-    cfg = PipelineConfig(verbose=False)
+    # num_hypotheses=512 matches the integration tests' pnp_ransac shape:
+    # a FRESH late-suite XLA CPU compile of the default-1024 program
+    # segfaulted the whole suite (compiler crash under accumulated
+    # process state; fine in a fresh process). Same coverage, shared
+    # executable.
+    cfg = PipelineConfig(ransac=RansacConfig(num_hypotheses=512), verbose=False)
     feats = _feats_from_scene(scene)
     assert _rescue_unregistered(merged, feats, graph, scene.intrinsics, cfg) == 0
