@@ -559,6 +559,7 @@ def _project_np(
 def merge_tracks_by_proximity(
     rec: Reconstruction, max_px: float = 6.0, knn: int = 8,
     radius_frac: float = 0.35, gate_obs_cap: int = 64, verbose: bool = False,
+    rel_factor: float = 2.0, floor_px: float = 1.0,
 ) -> int:
     """Fuse duplicated tracks by 3D proximity + union-reprojection fitness
     (COLMAP retriangulation/MergeTracks analog, SURVEY.md §2.5/§2.7).
@@ -577,9 +578,11 @@ def merge_tracks_by_proximity(
 
     Per call: for each valid point, its knn nearest valid neighbors within
     radius_frac * (RMS scene scale) become candidate pairs; a pair is
-    accepted when the observation-weighted merged position reprojects with
-    mean error <= max_px into EACH track separately (per-side gate: a long
-    healthy track must not vote down its own absorption of a short bad one);
+    accepted when the observation-weighted merged position reprojects into
+    EACH track separately (per-side gate: a long healthy track must not
+    vote down its own absorption of a short bad one) with mean error within
+    the quality-preservation gate min(max_px, max(rel_factor x the tracks'
+    current worst per-side fit, floor_px)) — see the inline rationale;
     accepted pairs are greedily matched (each point merges at most once per
     call, best-fit first) so one call never chain-collapses a whole
     neighborhood through an unchecked transitive union. Interleave calls
@@ -642,22 +645,43 @@ def merge_tracks_by_proximity(
     m_pos = (w_a * rec.points[pa] + w_b * rec.points[pb]) / np.maximum(w_a + w_b, 1e-9)
 
     R_all = _so3_exp_np(rec.rvecs)
-    side_err = []
+    side_err, side_pre = [], []
     for pids in (pa, pb):
         rows, pair_of_row = _side_rows(pids)
         img = rec.obs_image[rows]
-        proj, depth = _project_np(m_pos[pair_of_row], R_all[img], rec.tvecs[img],
-                                  rec.intrinsics[img])
-        err = np.linalg.norm(proj - rec.obs_uv[rows], axis=1)
+        Rv, tv, Kv, uv = R_all[img], rec.tvecs[img], rec.intrinsics[img], rec.obs_uv[rows]
+        nobs = np.maximum(np.bincount(pair_of_row, minlength=len(pa)), 1)
+        proj, depth = _project_np(m_pos[pair_of_row], Rv, tv, Kv)
+        err = np.linalg.norm(proj - uv, axis=1)
         # Cheirality: a merged position behind any observing camera fails
         # the pair outright (finite-pixel sign-flip projections must not
         # average into an acceptable mean error).
         err = np.where(depth > 0, err, np.inf)
-        mean = np.bincount(pair_of_row, weights=err, minlength=len(pa))
-        mean /= np.maximum(np.bincount(pair_of_row, minlength=len(pa)), 1)
-        side_err.append(mean)
+        side_err.append(np.bincount(pair_of_row, weights=err, minlength=len(pa)) / nobs)
+        # Each side's CURRENT fit (its own position over the same rows):
+        # the baseline for the quality-preservation gate below.
+        proj0, depth0 = _project_np(rec.points[pids][pair_of_row], Rv, tv, Kv)
+        err0 = np.linalg.norm(proj0 - uv, axis=1)
+        err0 = np.where(depth0 > 0, err0, np.inf)
+        side_pre.append(np.bincount(pair_of_row, weights=err0, minlength=len(pa)) / nobs)
     worst = np.maximum(side_err[0], side_err[1])
-    acc = np.where(worst <= max_px)[0]
+    # Quality-preservation gate: a fusion may not degrade the union's fit
+    # beyond rel_factor x the tracks' CURRENT worst fit (floor_px absolute
+    # floor, max_px absolute cap). Rationale: two arc-copies of the SAME
+    # physical point and two DISTINCT sub-blob features can sit at the same
+    # 3D separation (the 10k blob scene: child splats subtend ~2.6px, the
+    # same range as residual cluster-alignment drift), so an absolute
+    # max_px gate fuses distinct features and bakes in irreducible ~d/2
+    # residuals (observed: 2048-ladder refine rounds ended at 2.15px mean
+    # reprojection vs 0.56px unrefined). The relative gate only accepts
+    # fusions the current geometry certifies as near-lossless; cross-arc
+    # copies displaced farther than that are fused by correspondence VOTES
+    # (2D evidence, merge_tracks_by_correspondence over the densified
+    # graph), and each BA round shrinks the displacement so proximity picks
+    # up the remainder over the refine iterations.
+    baseline = np.minimum(np.maximum(side_pre[0], side_pre[1]), max_px)
+    gate = np.minimum(max_px, np.maximum(rel_factor * baseline, floor_px))
+    acc = np.where(worst <= gate)[0]
     if len(acc) == 0:
         return 0
 
@@ -678,7 +702,9 @@ def merge_tracks_by_proximity(
     if verbose and n:
         print(f"[sfm_tpu] proximity track merge: fused {n} duplicate points "
               f"({len(pair_key)} candidates, {len(acc)} passed the "
-              f"{max_px:.1f}px union-reprojection gate)")
+              f"quality-preserving union-reprojection gate "
+              f"[{rel_factor:.1f}x current fit, floor {floor_px:.1f}px, "
+              f"cap {max_px:.1f}px])")
     return n
 
 

@@ -282,3 +282,49 @@ def test_merge_tracks_by_proximity():
     assert rec.obs_point.max() < len(rec.points)
     assert rec.point_valid[rec.obs_point].all()
     assert float(rec.reprojection_errors().max()) < 2.0
+
+
+def test_proximity_merge_preserves_quality():
+    """The quality-preservation gate (merge.py): two DISTINCT well-fit points
+    a few px apart in image space must NOT fuse even though their union
+    reprojects under the absolute cap — an absolute-only gate fused distinct
+    sub-blob features and degraded the 2048-ladder refine rounds to 2.15px
+    mean reprojection. A fusion is accepted only when the union's fit stays
+    within rel_factor x the tracks' current fit (floor_px floor)."""
+    from sfm_tpu.pipeline.merge import (
+        merge_tracks_by_proximity, _project_np, _so3_exp_np,
+    )
+
+    scene = make_orbit_scene(num_cameras=8, num_points=40, noise_px=0.0, seed=9)
+    rec = scene_to_reconstruction(scene)
+    vis_all = np.where(scene.visible.all(0))[0]
+    p1, p2 = int(vis_all[0]), int(vis_all[1])
+
+    # Move p2 right next to p1 (0.035 world units ~ 3.5px here) and make
+    # its observations EXACT projections of the new position: two genuinely
+    # distinct, perfectly-fit features.
+    rec.points[p2] = rec.points[p1] + np.array([0.035, 0, 0], np.float32)
+    rows = np.where(rec.obs_point == p2)[0]
+    img = rec.obs_image[rows]
+    proj, depth = _project_np(
+        np.repeat(rec.points[p2][None], len(rows), 0),
+        _so3_exp_np(rec.rvecs)[img], rec.tvecs[img], rec.intrinsics[img])
+    assert (depth > 0).all()
+    rec.obs_uv[rows] = proj.astype(np.float32)
+
+    merge_tracks_by_proximity(rec, max_px=6.0)
+    # Under the old absolute 6px gate this pair fused (union ~1.7px/side);
+    # the quality gate (2x current fit = 0, floored at 1px) must keep both.
+    assert rec.point_valid[p1] and rec.point_valid[p2]
+    assert (rec.obs_point[rows] == p2).all()
+
+    # Same 3D separation, but now p2 is a displaced COPY of p1 (its rows
+    # re-observe p1's physical position, so its own fit is ~3.5px): the
+    # relative gate scales with the current fit and accepts the fusion.
+    proj1, _ = _project_np(
+        np.repeat(rec.points[p1][None], len(rows), 0),
+        _so3_exp_np(rec.rvecs)[img], rec.tvecs[img], rec.intrinsics[img])
+    rec.obs_uv[rows] = proj1.astype(np.float32)
+    n = merge_tracks_by_proximity(rec, max_px=6.0)
+    assert n >= 1
+    assert not (rec.point_valid[p1] and rec.point_valid[p2])
