@@ -8,9 +8,14 @@ the fused match stage (bf16 Gram matmul + top-2 ratio + mutual check) at
 production shapes. Secondary metrics (BA LM iterations/sec, feature
 extraction throughput) are recorded to benchmarks/latest.json.
 
-vs_baseline compares against the first recorded v5e measurement in
-_BASELINE_NUMBERS (BASELINE.md "Measured" table); the reference publishes no
-numbers (BASELINE.json `published` is empty).
+vs_baseline is the ratio against an EXTERNAL comparator: the OpenCV CPU
+matcher (BFMatcher knnMatch + Lowe ratio test) timed on the identical
+descriptor workload in this process (VERDICT r2 weak #5 — the previous
+denominator was this repo's own round-1 jnp matcher, which measured only
+self-improvement). The reference publishes no numbers (BASELINE.json
+`published` is empty), so OpenCV is the standing CPU oracle (SURVEY §4.3).
+If OpenCV is unavailable, vs_baseline falls back to the round-1 jnp-matcher
+denominator and says so in the unit string.
 """
 
 from __future__ import annotations
@@ -78,6 +83,30 @@ def bench_matching():
         _ = np.asarray(out.valid)   # force host materialization (see above)
     dt = time.perf_counter() - t0
     return (_MATCH_P * n_blocks) / dt
+
+
+def bench_matching_oracle(blocks_np):
+    """OpenCV CPU matcher on the same descriptor workload (pairs/sec).
+
+    One-direction knnMatch(k=2) + Lowe ratio test — the standard OpenCV
+    recipe, and strictly LESS work than our match_block (which also runs the
+    mutual check), so the ratio does not flatter the TPU path. Times a small
+    number of pairs (CPU brute-force 4096x4096x128 is ~seconds/pair) and
+    extrapolates linearly — brute-force matching is O(pairs) with no warmup.
+    """
+    import cv2
+
+    n_time = 3
+    di, dj = blocks_np
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    # Warm one pair (thread-pool spinup), then time.
+    _ = bf.knnMatch(di[0], dj[0], k=2)
+    t0 = time.perf_counter()
+    for p in range(n_time):
+        mm = bf.knnMatch(di[p], dj[p], k=2)
+        _ = [m for m, n in mm if m.distance < 0.8 * n.distance]
+    dt = time.perf_counter() - t0
+    return n_time / dt
 
 
 def _make_ba_problem(seed: int):
@@ -240,17 +269,34 @@ def main():
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+
+    # External comparator for vs_baseline (VERDICT r2 weak #5): OpenCV CPU
+    # matcher on the identical [4096,128]x[4096,128] workload, same process,
+    # same machine. Content is irrelevant for brute-force match timing; use
+    # host-generated unit-norm descriptors of the same shape.
+    unit = "image_pairs/s (N=4096 kp, 128-D, bf16 MXU; vs OpenCV CPU matcher)"
+    try:
+        rng = np.random.default_rng(0)
+        mk = lambda: np.ascontiguousarray(
+            (lambda d: d / np.linalg.norm(d, axis=-1, keepdims=True))(
+                rng.normal(size=(4, _MATCH_N, 128)).astype(np.float32)))
+        oracle_pairs_per_sec = bench_matching_oracle((mk(), mk()))
+        results["opencv_cpu_pairs_per_sec"] = oracle_pairs_per_sec
+        base = oracle_pairs_per_sec
+    except Exception:
+        base = _BASELINE_NUMBERS["pairs_per_sec_per_chip"]
+        unit = "image_pairs/s (N=4096 kp, 128-D, bf16 MXU; vs round-1 jnp matcher — OpenCV unavailable)"
+
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/latest.json", "w") as f:
         json.dump(results, f, indent=2)
 
     value = results["pairs_per_sec_per_chip"]
-    base = _BASELINE_NUMBERS["pairs_per_sec_per_chip"]
     vs = (value / base) if base else 1.0
     print(json.dumps({
         "metric": "pairs_per_sec_per_chip",
         "value": round(value, 2),
-        "unit": "image_pairs/s (N=4096 kp, 128-D, bf16 MXU)",
+        "unit": unit,
         "vs_baseline": round(vs, 3),
     }))
 
