@@ -190,6 +190,12 @@ class PartitionConfig:
                                         # (COLMAP IterativeGlobalRefinement
                                         # analog; 0 disables). Stops early when
                                         # a round fuses no tracks.
+    straighten_pose_graph: bool = True  # before the merged-model polish, replace
+                                        # poses with rotation+translation-averaged
+                                        # pose-graph poses (sim3-aligned) and
+                                        # retriangulate — removes the low-frequency
+                                        # cluster-chain bend that reprojection-only
+                                        # BA cannot see (10k postmortem)
 
 
 @dataclass(frozen=True)

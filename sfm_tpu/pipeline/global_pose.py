@@ -1,0 +1,541 @@
+"""Global pose-graph optimization: rotation + translation averaging.
+
+Reference-class realization: the IIT-Delhi large-scale-SfM lineage registers
+partial reconstructions and initializes cameras globally via robust rotation
+averaging (Chatterjee/Govindu-style iterative chordal averaging) followed by
+translation averaging over pairwise direction constraints (1DSfM-class — the
+config ladder's #4 scene family, BASELINE.md, is named after that paper).
+The reference mount is empty (SURVEY.md §0), so no file:line citations are
+possible; the capability is grounded in SURVEY §0.1/[K] and serves BASELINE
+.json:11 (globally consistent 10k+ models).
+
+This is host-side numpy/scipy by design: pose graphs are small (N cameras,
+E verified edges — ~10^4/~10^5 at Rome16K scale), irregular, and
+latency-bound, which is exactly the work the framework keeps on host
+(SURVEY.md §7 "host does bookkeeping, device does math"). The heavy geometry
+(triangulation, bundle adjustment) stays on device.
+
+Uses:
+- global initialization of camera poses from two-view geometry alone,
+- straightening low-frequency drift out of chained incremental/merged models
+  (`straighten_reconstruction`): at Rome16K scale the reprojection cost is
+  locally FLAT along slow bends of the camera chain, so bundle adjustment
+  cannot remove them — but the pose graph's long-range relative-rotation
+  constraints are exactly the missing stiffness.
+
+Conventions (match ops/verify.py:35 and scene/state.py): camera poses are
+world->camera (x_cam = R x_world + t); edge (i, j) stores the pose of camera
+j in camera-i coordinates (x_j = R_ij x_i + t_ij, |t_ij| = 1), so
+R_ij = R_j R_i^T and the world-frame unit direction from center i to center
+j is d_ij = -R_i^T R_ij^T t_ij.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Small batched SO(3) helpers (host numpy; jax versions exist in
+# geometry/rotations.py but pose-graph iterations are eager host loops where
+# per-call dispatch would dominate).
+# ---------------------------------------------------------------------------
+
+
+def _so3_exp_np(rvecs: np.ndarray) -> np.ndarray:
+    """Batched angle-axis -> rotation matrices. [E, 3] -> [E, 3, 3]."""
+    rvecs = np.asarray(rvecs, np.float64)
+    th = np.linalg.norm(rvecs, axis=-1, keepdims=True)
+    k = rvecs / np.maximum(th, 1e-12)
+    K = np.zeros(rvecs.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    th = th[..., None]
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    return eye + np.sin(th) * K + (1.0 - np.cos(th)) * (K @ K)
+
+
+def _so3_log_np(R: np.ndarray) -> np.ndarray:
+    """Batched rotation matrices -> angle-axis. [E, 3, 3] -> [E, 3].
+
+    Via quaternion extraction with Shepperd branch selection (pick the
+    largest of w/x/y/z as pivot) — the antisymmetric-part formula loses the
+    axis catastrophically when the angle nears pi (sin(theta) cancellation),
+    which real orbit pose sets hit routinely.
+    """
+    R = np.asarray(R, np.float64)
+    batch = R.shape[:-2]
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    # Four candidate pivots: 4w^2-1, 4x^2-1, 4y^2-1, 4z^2-1 (up to +1 shift).
+    cand = np.stack([tr, m00 - m11 - m22, m11 - m00 - m22, m22 - m00 - m11],
+                    axis=-1)
+    pivot = np.argmax(cand, axis=-1)
+    q = np.zeros(batch + (4,))
+    s = np.sqrt(np.maximum(1.0 + np.take_along_axis(
+        cand, pivot[..., None], axis=-1)[..., 0], 1e-300)) * 0.5
+    inv4s = 0.25 / s
+    qw = [s, (m21 - m12) * inv4s, (m02 - m20) * inv4s, (m10 - m01) * inv4s]
+    qx = [(m21 - m12) * inv4s, s, (m01 + m10) * inv4s, (m02 + m20) * inv4s]
+    qy = [(m02 - m20) * inv4s, (m01 + m10) * inv4s, s, (m12 + m21) * inv4s]
+    qz = [(m10 - m01) * inv4s, (m02 + m20) * inv4s, (m12 + m21) * inv4s, s]
+    for k, comps in enumerate((qw, qx, qy, qz)):
+        sel = pivot == k
+        for c in range(4):
+            q[..., c] = np.where(sel, comps[c], q[..., c])
+    # Canonical sign (w >= 0) -> angle in [0, pi].
+    q = q * np.where(q[..., :1] < 0, -1.0, 1.0)
+    vn = np.linalg.norm(q[..., 1:], axis=-1)
+    th = 2.0 * np.arctan2(vn, q[..., 0])
+    scale = np.where(vn > 1e-12, th / np.maximum(vn, 1e-300), 2.0)
+    return q[..., 1:] * scale[..., None]
+
+
+def _project_so3_np(M: np.ndarray) -> np.ndarray:
+    """Batched nearest-rotation projection (polar/SVD). [*, 3, 3]."""
+    U, _, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    det = np.linalg.det(R)
+    U = U.copy()
+    U[..., :, 2] *= np.sign(det)[..., None]
+    return U @ Vt
+
+
+# ---------------------------------------------------------------------------
+# Connectivity
+# ---------------------------------------------------------------------------
+
+
+def _largest_component(pairs: np.ndarray, n: int) -> np.ndarray:
+    """Bool mask of the largest connected component (union-find)."""
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for i, j in pairs:
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[rj] = ri
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    touched = np.zeros(n, bool)
+    touched[pairs[:, 0]] = True
+    touched[pairs[:, 1]] = True
+    if not touched.any():
+        return touched
+    vals, counts = np.unique(roots[touched], return_counts=True)
+    return (roots == vals[np.argmax(counts)]) & touched
+
+
+def _spanning_tree_order(pairs: np.ndarray, weights: np.ndarray, n: int,
+                         comp: np.ndarray) -> list[tuple[int, int, int]]:
+    """BFS spanning tree over the component, preferring heavy edges.
+
+    Returns [(child, parent, edge_idx)] in visit order, rooted at the
+    max-weighted-degree node. Greedy heavy-edge preference keeps the initial
+    chain built from the most reliable relative poses.
+    """
+    adj: dict[int, list[tuple[float, int, int]]] = {}
+    for e, (i, j) in enumerate(pairs):
+        i, j = int(i), int(j)
+        adj.setdefault(i, []).append((float(weights[e]), j, e))
+        adj.setdefault(j, []).append((float(weights[e]), i, e))
+    deg = np.zeros(n)
+    for e, (i, j) in enumerate(pairs):
+        deg[int(i)] += weights[e]
+        deg[int(j)] += weights[e]
+    root = int(np.argmax(np.where(comp, deg, -1.0)))
+    visited = np.zeros(n, bool)
+    visited[root] = True
+    order: list[tuple[int, int, int]] = []
+    import heapq
+
+    heap: list[tuple[float, int, int, int]] = []
+    for w, nb, e in adj.get(root, []):
+        heapq.heappush(heap, (-w, nb, root, e))
+    while heap:
+        negw, node, par, e = heapq.heappop(heap)
+        if visited[node]:
+            continue
+        visited[node] = True
+        order.append((node, par, e))
+        for w, nb, e2 in adj.get(node, []):
+            if not visited[nb]:
+                heapq.heappush(heap, (-w, nb, node, e2))
+    return order
+
+
+# ---------------------------------------------------------------------------
+# Rotation averaging
+# ---------------------------------------------------------------------------
+
+
+def rotation_averaging(
+    pairs: np.ndarray,
+    rel_rvecs: np.ndarray,
+    num_images: int,
+    weights: np.ndarray | None = None,
+    num_iters: int = 50,
+    huber_deg: float = 10.0,
+    tol_deg: float = 1e-3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Robust iterative chordal rotation averaging.
+
+    pairs [E, 2] (i, j), rel_rvecs [E, 3] with R_ij = R_j R_i^T (the
+    MatchGraph edge convention). Returns (R [N, 3, 3] world->cam, valid [N])
+    where valid marks the largest connected component (other cameras get
+    identity). The gauge is arbitrary (solution defined up to one global
+    rotation).
+
+    Method: spanning-tree initialization, then damped IRLS fixed-point
+    sweeps R_j <- project_SO3(sum_i w_e R_ij R_i + sum_k w_e R_jk^T R_k)
+    with Huber weights on the chordal residual angle — the standard robust
+    averaging recipe; vectorized over all edges per sweep (np.add.at), so a
+    sweep is O(E) with no Python per-edge work. A second pass re-solves with
+    gross-residual edges (> max(3x median, huber_deg)) cut outright: Huber
+    leaves ~0.1 weight on 90-degree outliers, enough to bias the mean by
+    several degrees at 10% contamination.
+    """
+    pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+    E = len(pairs)
+    R = np.tile(np.eye(3), (num_images, 1, 1))
+    if E == 0:
+        return R, np.zeros(num_images, bool)
+    w0 = np.ones(E) if weights is None else np.asarray(weights, np.float64)
+    w0 = np.maximum(w0, 1e-6)
+    w0 = w0 / w0.mean()
+    comp = _largest_component(pairs, num_images)
+    in_comp = comp[pairs[:, 0]] & comp[pairs[:, 1]]
+    Rrel = _so3_exp_np(rel_rvecs)                         # [E, 3, 3]
+
+    # Spanning-tree init: R_child = R_rel R_parent (or transpose for
+    # reversed tree edges).
+    for child, par, e in _spanning_tree_order(pairs[in_comp], w0[in_comp],
+                                              num_images, comp):
+        ei = np.where(in_comp)[0][e]
+        i, j = pairs[ei]
+        if child == j:
+            R[child] = Rrel[ei] @ R[par]
+        else:
+            R[child] = Rrel[ei].T @ R[par]
+
+    huber = np.radians(huber_deg)
+    idx_i, idx_j = pairs[:, 0], pairs[:, 1]
+
+    def _sweeps(w_base):
+        nonlocal R
+        ang = np.zeros(E)
+        for _ in range(num_iters):
+            # Residual angle per edge: angle(R_ij R_i R_j^T).
+            pred_j = Rrel @ R[idx_i]                      # [E, 3, 3]
+            res = _so3_log_np(pred_j @ np.swapaxes(R[idx_j], -1, -2))
+            ang = np.linalg.norm(res, axis=-1)
+            w = w_base * np.where(ang <= huber, 1.0,
+                                  huber / np.maximum(ang, 1e-12))
+            w = np.where(in_comp, w, 0.0)
+
+            acc = np.zeros((num_images, 3, 3))
+            wsum = np.zeros(num_images)
+            np.add.at(acc, idx_j, w[:, None, None] * pred_j)
+            np.add.at(acc, idx_i, w[:, None, None]
+                      * (np.swapaxes(Rrel, -1, -2) @ R[idx_j]))
+            np.add.at(wsum, idx_j, w)
+            np.add.at(wsum, idx_i, w)
+            # Damping: blend in the current estimate (plain fixed point can
+            # oscillate on near-symmetric graphs).
+            acc += 0.5 * np.maximum(wsum, 1e-9)[:, None, None] * R
+            upd = comp & (wsum > 0)
+            newR = _project_so3_np(acc[upd])
+            step = np.linalg.norm(
+                _so3_log_np(newR @ np.swapaxes(R[upd], -1, -2)), axis=-1)
+            R[upd] = newR
+            if np.degrees(step.max() if len(step) else 0.0) < tol_deg:
+                break
+        return ang
+
+    ang = _sweeps(w0)
+    # Trim pass: cut gross outlier edges entirely, keeping connectivity —
+    # only edges whose removal leaves both endpoints covered are cut.
+    live = in_comp & (w0 > 0)
+    med = np.median(ang[live]) if live.any() else 0.0
+    cut = ang > max(3.0 * med, huber)
+    deg_cnt = np.zeros(num_images)
+    np.add.at(deg_cnt, idx_i[live & ~cut], 1.0)
+    np.add.at(deg_cnt, idx_j[live & ~cut], 1.0)
+    safe = cut & (deg_cnt[idx_i] > 0) & (deg_cnt[idx_j] > 0)
+    if safe.any():
+        _sweeps(np.where(safe, 0.0, w0))
+    return R.astype(np.float64), comp
+
+
+# ---------------------------------------------------------------------------
+# Translation averaging
+# ---------------------------------------------------------------------------
+
+
+def translation_averaging(
+    pairs: np.ndarray,
+    directions: np.ndarray,
+    num_images: int,
+    valid: np.ndarray,
+    weights: np.ndarray | None = None,
+    num_rounds: int = 4,
+    centers0: np.ndarray | None = None,
+    huber: float = 0.1,
+) -> np.ndarray:
+    """Camera centers from pairwise world-frame direction constraints.
+
+    pairs [E, 2], directions [E, 3] unit vectors d_ij (center i -> center j
+    in world frame), valid [N] (cameras to solve; from rotation averaging's
+    component mask). Minimizes the scale-free direction objective
+
+        sum_e w_e || P_e (c_j - c_i) ||^2,   P_e = I - d_e d_e^T
+
+    (the component of each baseline PERPENDICULAR to its measured direction
+    — the per-edge baseline length is eliminated analytically, which is what
+    makes the problem linear; 1DSfM-class objective with Huber IRLS instead
+    of L1). The minimizer over unit-norm centered c is the smallest
+    eigenvector of the projected graph Laplacian H = sum_e w_e A_e^T P_e A_e:
+    for consistent directions the true shape is EXACTLY in its nullspace
+    (after deflating the 3 global-translation null vectors), so the solve is
+    inverse iteration with translation deflation, seeded from a spanning-tree
+    walk (or centers0), with IRLS reweighting rounds around it. [Naive
+    alternation on sum ||c_j - c_i - s_e d_e||^2 either collapses (the
+    objective is jointly scale-shrinkable) or crawls under an s-floor — the
+    eigen formulation has no scale mode to fight.]
+
+    Gauge: output is centered with median projected baseline = 1 and
+    majority-positive direction signs; callers align to their frame with a
+    sim3 (umeyama_np). Cameras outside `valid` return center 0.
+    """
+    from scipy.sparse import coo_matrix, identity
+    from scipy.sparse.linalg import splu
+
+    pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+    d = np.asarray(directions, np.float64)
+    keep = valid[pairs[:, 0]] & valid[pairs[:, 1]]
+    keep &= np.isfinite(d).all(axis=1)
+    pairs, d = pairs[keep], d[keep]
+    E = len(pairs)
+    centers = np.zeros((num_images, 3))
+    if E == 0:
+        return centers
+    w0 = np.ones(E) if weights is None else np.asarray(weights, np.float64)[keep]
+    w0 = np.maximum(w0 / max(w0.mean(), 1e-12), 1e-6)
+    d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+
+    ids = np.where(valid)[0]
+    remap = -np.ones(num_images, np.int64)
+    remap[ids] = np.arange(len(ids))
+    pi, pj = remap[pairs[:, 0]], remap[pairs[:, 1]]
+    n = len(ids)
+
+    if centers0 is not None:
+        c = np.asarray(centers0, np.float64)[ids].copy()
+    else:
+        c = np.zeros((n, 3))
+        order = _spanning_tree_order(np.stack([pi, pj], 1), w0, n,
+                                     np.ones(n, bool))
+        dmap = {}
+        for e in range(E):
+            dmap[(int(pi[e]), int(pj[e]))] = d[e]
+        for child, par, e in order:
+            i0, j0 = int(pi[e]), int(pj[e])
+            step = dmap[(i0, j0)]
+            c[child] = c[par] + (step if child == j0 else -step)
+
+    P = np.eye(3)[None] - d[:, :, None] * d[:, None, :]      # [E, 3, 3]
+    kk, ll = np.meshgrid(np.arange(3), np.arange(3), indexing="ij")
+
+    def _deflate(x):
+        x = x - x.mean(axis=0)                               # kill translations
+        return x / max(np.linalg.norm(x), 1e-12)
+
+    for _ in range(num_rounds):
+        delta = c[pj] - c[pi]
+        base = np.linalg.norm(delta, axis=1)
+        res = np.linalg.norm(np.einsum("eij,ej->ei", P, delta), axis=1)
+        scale = huber * max(np.median(base), 1e-9)
+        w = w0 * np.where(res <= scale, 1.0, scale / np.maximum(res, 1e-12))
+
+        # H = sum_e w_e A_e^T P_e A_e as 3x3 blocks: +wP at (i,i), (j,j);
+        # -wP at (i,j), (j,i). Flat index 3*cam + coord.
+        wP = w[:, None, None] * P                            # [E, 3, 3]
+        bi, bj = 3 * pi, 3 * pj
+        rows, cols, vals = [], [], []
+        for br, bc, sgn in ((bi, bi, 1.0), (bj, bj, 1.0),
+                            (bi, bj, -1.0), (bj, bi, -1.0)):
+            rows.append((br[:, None, None] + kk[None]).ravel())
+            cols.append((bc[:, None, None] + ll[None]).ravel())
+            vals.append((sgn * wP).ravel())
+        H = coo_matrix((np.concatenate(vals),
+                        (np.concatenate(rows), np.concatenate(cols))),
+                       shape=(3 * n, 3 * n)).tocsc()
+        eps = 1e-10 * (H.diagonal().sum() / (3 * n) + 1e-12)
+        lu = splu(H + eps * identity(3 * n, format="csc"))
+        x = _deflate(c)
+        for _ in range(3):                                   # inverse iteration
+            x = _deflate(lu.solve(x.ravel()).reshape(n, 3))
+        c = x
+
+        # Fix sign + scale gauge: majority of projected baselines positive,
+        # median projected baseline = 1.
+        s = np.einsum("ei,ei->e", c[pj] - c[pi], d)
+        med = np.median(s)
+        if med < 0:
+            c, med = -c, -med
+        c = c / max(abs(med), 1e-12)
+
+    centers[ids] = c
+    return centers
+
+
+# ---------------------------------------------------------------------------
+# MatchGraph front end + reconstruction straightening
+# ---------------------------------------------------------------------------
+
+
+def pose_graph_poses(graph, num_images: int,
+                     min_inliers: int = 0) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global world->camera poses from a verified MatchGraph alone.
+
+    Uses edges with ok & pose_ok (correspondence-only edges carry no usable
+    relative pose — stages.MatchGraph.pose_ok). Returns (rvecs [N, 3],
+    tvecs [N, 3], valid [N]); the gauge (global rotation, translation,
+    scale) is arbitrary.
+    """
+    use = np.asarray(graph.ok).copy()
+    if graph.pose_ok is not None:
+        use &= np.asarray(graph.pose_ok)
+    if min_inliers:
+        use &= np.asarray(graph.num_inliers) >= min_inliers
+    pairs = np.asarray(graph.pairs)[use]
+    rel_r = np.asarray(graph.rvec)[use]
+    rel_t = np.asarray(graph.tvec)[use]
+    wts = np.asarray(graph.num_inliers)[use].astype(np.float64)
+
+    R, valid = rotation_averaging(pairs, rel_r, num_images, weights=wts)
+    # World-frame center direction per edge: d = -R_i^T R_ij^T t_ij.
+    Rrel = _so3_exp_np(rel_r)
+    Ri = R[pairs[:, 0]] if len(pairs) else np.zeros((0, 3, 3))
+    d = -np.einsum("eji,ekj,ek->ei", Ri, Rrel, rel_t) if len(pairs) else rel_t
+    centers = translation_averaging(pairs, d, num_images, valid, weights=wts)
+    rvecs = _so3_log_np(R)
+    tvecs = -np.einsum("nij,nj->ni", R, centers)
+    return rvecs.astype(np.float32), tvecs.astype(np.float32), valid
+
+
+def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False) -> bool:
+    """Replace a reconstruction's poses with sim3-aligned pose-graph poses
+    and retriangulate its points (in place). Returns False (model untouched)
+    when the pose graph doesn't cover enough of the model to align.
+
+    This is the low-frequency-drift rescue for chained/merged large-scale
+    models (BASELINE.md 10k postmortems): bundle adjustment's reprojection
+    cost is flat along slow bends, but rotation averaging over the (densified)
+    match graph is globally stiff. The caller should follow with the usual
+    BA -> filter -> BA polish; this function only moves poses + DLT points.
+    """
+    from sfm_tpu.geometry.similarity import umeyama_np
+
+    K = len(rec.registered)
+    rvecs_pg, tvecs_pg, valid = pose_graph_poses(graph, K)
+    both = valid & rec.registered
+    if both.sum() < max(3, 0.5 * rec.registered.sum()):
+        return False
+
+    Rpg = _so3_exp_np(rvecs_pg[both])
+    c_pg = -np.einsum("nji,nj->ni", Rpg, tvecs_pg[both])
+    Rcur = _so3_exp_np(rec.rvecs[both])
+    c_cur = -np.einsum("nji,nj->ni", Rcur, rec.tvecs[both])
+    s, Rw, t = umeyama_np(c_pg, c_cur)                 # rec_world ~ s Rw pg + t
+    # Trimmed refit: drop the worst 10% (pose-graph stragglers).
+    fit = s * c_pg @ np.asarray(Rw).T + np.asarray(t)
+    err = np.linalg.norm(fit - c_cur, axis=1)
+    keep = err <= np.quantile(err, 0.9)
+    if keep.sum() >= 3:
+        s, Rw, t = umeyama_np(c_pg[keep], c_cur[keep])
+    Rw = np.asarray(Rw)
+
+    ids = np.where(both)[0]
+    R_new = _so3_exp_np(rvecs_pg[ids]) @ Rw.T
+    c_new = s * (-np.einsum("nji,nj->ni", _so3_exp_np(rvecs_pg[ids]),
+                            tvecs_pg[ids])) @ Rw.T + np.asarray(t)
+    rec.rvecs[ids] = _so3_log_np(R_new).astype(np.float32)
+    rec.tvecs[ids] = (-np.einsum("nij,nj->ni", R_new, c_new)).astype(np.float32)
+    if verbose:
+        moved = float(np.mean(np.linalg.norm(c_new - c_cur, axis=1)))
+        print(f"[sfm_tpu]   pose-graph straighten: {int(both.sum())}/"
+              f"{int(rec.registered.sum())} cameras, mean center move {moved:.3f}")
+    retriangulate_reconstruction(rec, cfg=cfg)
+    return True
+
+
+def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16) -> int:
+    """Re-DLT every valid point from its observations at the CURRENT poses
+    (in place; device-batched). Tracks longer than max_views use an evenly
+    strided view subset — DLT conditioning saturates long before that.
+    Returns the number of points that re-triangulated validly.
+    """
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops.triangulate import triangulate_tracks
+
+    if rec.obs_point is None or not rec.num_points:
+        return 0
+    min_angle = 1.5 if cfg is None else cfg.engine.min_triangulation_angle_deg
+    order = np.argsort(rec.obs_point, kind="stable")
+    op = rec.obs_point[order]
+    starts = np.searchsorted(op, np.arange(len(rec.points)), side="left")
+    ends = np.searchsorted(op, np.arange(len(rec.points)), side="right")
+    pids = np.where(rec.point_valid & (ends - starts >= 2))[0]
+    if len(pids) == 0:
+        return 0
+    # Bucket-pad both axes (T to a power of two, V to a multiple of 4):
+    # triangulate_tracks compiles per shape and every distinct data-dependent
+    # shape would cost a 20-40s remote compile (NOTES.md gotcha 3).
+    T = max(64, 1 << int(np.ceil(np.log2(len(pids)))))
+    V = int(min(max_views, (ends - starts)[pids].max()))
+    V = -(-V // 4) * 4
+    sel = np.zeros((T, V), np.int64)
+    mask = np.zeros((T, V), bool)
+    for k, p in enumerate(pids):              # host loop over points: O(P), cheap
+        rows = order[starts[p]:ends[p]]
+        if len(rows) > V:
+            rows = rows[np.linspace(0, len(rows) - 1, V).astype(np.int64)]
+        sel[k, :len(rows)] = rows
+        mask[k, :len(rows)] = True
+
+    img = rec.obs_image[sel]
+    intr = rec.intrinsics[img]
+    # Normalized camera coords; ladder/synthetic intrinsics carry no
+    # distortion — apply the 2-term inverse only when k1/k2 are present.
+    uv = rec.obs_uv[sel]
+    xy = (uv - intr[..., 2:4]) / intr[..., 0:2]
+    k1, k2 = intr[..., 4], intr[..., 5]
+    if np.any(k1) or np.any(k2):
+        x = xy.copy()
+        for _ in range(4):                    # fixed-point undistort
+            r2 = np.sum(x * x, axis=-1)
+            x = xy / (1.0 + k1 * r2 + k2 * r2 * r2)[..., None]
+        xy = x
+
+    tri = triangulate_tracks(
+        jnp.asarray(rec.rvecs[img]), jnp.asarray(rec.tvecs[img]),
+        jnp.asarray(xy.astype(np.float32)), jnp.asarray(mask),
+        min_angle_deg=float(min_angle),
+    )
+    pts = np.asarray(tri.points)[:len(pids)]
+    ok = np.asarray(tri.valid)[:len(pids)]
+    rec.points[pids] = pts
+    rec.point_valid[pids] = ok
+    rec.point_valid[np.setdiff1d(np.where(rec.point_valid)[0], pids)] = False
+    return int(ok.sum())

@@ -232,6 +232,29 @@ def _polish_phase(
         merge_tracks_by_correspondence, merge_tracks_by_proximity,
     )
 
+    if cfg.partition.straighten_pose_graph and merged.num_points > 4:
+        # Pose-graph straightening (rotation averaging + 1DSfM-class
+        # translation averaging over the verified match graph): the merged
+        # model's failure mode at 10k is a low-frequency bend along the
+        # cluster chain that reprojection cost is FLAT along — but the pose
+        # graph's long-range relative-rotation constraints (densified edges)
+        # are globally stiff. Replace poses, retriangulate, let the BA
+        # below restore local accuracy. Reverts if retriangulation collapses
+        # (pose-graph poses inconsistent with the observations).
+        from sfm_tpu.pipeline.global_pose import straighten_reconstruction
+
+        snap = (merged.rvecs.copy(), merged.tvecs.copy(),
+                merged.points.copy(), merged.point_valid.copy())
+        n_valid_before = int(merged.point_valid.sum())
+        if straighten_reconstruction(merged, graph, cfg=cfg,
+                                     verbose=cfg.verbose):
+            if int(merged.point_valid.sum()) < 0.5 * n_valid_before:
+                (merged.rvecs, merged.tvecs,
+                 merged.points, merged.point_valid) = snap
+                if cfg.verbose:
+                    print("[sfm_tpu]   pose-graph straighten reverted "
+                          "(retriangulation collapse)")
+
     if cfg.partition.merge_global_ba and merged.num_points > 4:
         # Capacity threading: every polish in this phase solves the SAME
         # cameras over monotonically shrinking obs/point sets (filters drop,
