@@ -211,6 +211,13 @@ class PipelineConfig:
     shard: ShardConfig = field(default_factory=ShardConfig)
     partition: PartitionConfig = field(default_factory=PartitionConfig)
     pair_mode: str = "exhaustive"       # "exhaustive" | "vocab_tree"
+    engine_mode: str = "incremental"    # "incremental" (register one image at
+                                        # a time; robust default) | "global"
+                                        # (rotation+translation averaging over
+                                        # the whole pose graph, then one
+                                        # batched triangulation + global BA —
+                                        # a few device programs instead of
+                                        # O(images) sequential PnP rounds)
     seed: int = 0
     artifact_dir: str | None = None     # stage artifacts + resume (SURVEY.md §5.4)
     profile_dir: str | None = None      # jax.profiler trace output (SURVEY.md §5.1)

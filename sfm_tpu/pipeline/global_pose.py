@@ -186,14 +186,16 @@ def rotation_averaging(
     num_iters: int = 50,
     huber_deg: float = 10.0,
     tol_deg: float = 1e-3,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Robust iterative chordal rotation averaging.
 
     pairs [E, 2] (i, j), rel_rvecs [E, 3] with R_ij = R_j R_i^T (the
-    MatchGraph edge convention). Returns (R [N, 3, 3] world->cam, valid [N])
-    where valid marks the largest connected component (other cameras get
-    identity). The gauge is arbitrary (solution defined up to one global
-    rotation).
+    MatchGraph edge convention). Returns (R [N, 3, 3] world->cam, valid [N],
+    residual_rad [E]) where valid marks the largest connected component
+    (other cameras get identity) and residual_rad is each edge's final
+    relative-rotation residual angle — downstream consumers (translation
+    averaging) use it to drop edges whose measured pose is gross. The gauge
+    is arbitrary (solution defined up to one global rotation).
 
     Method: spanning-tree initialization, then damped IRLS fixed-point
     sweeps R_j <- project_SO3(sum_i w_e R_ij R_i + sum_k w_e R_jk^T R_k)
@@ -208,7 +210,7 @@ def rotation_averaging(
     E = len(pairs)
     R = np.tile(np.eye(3), (num_images, 1, 1))
     if E == 0:
-        return R, np.zeros(num_images, bool)
+        return R, np.zeros(num_images, bool), np.zeros(0)
     w0 = np.ones(E) if weights is None else np.asarray(weights, np.float64)
     w0 = np.maximum(w0, 1e-6)
     w0 = w0 / w0.mean()
@@ -272,8 +274,9 @@ def rotation_averaging(
     np.add.at(deg_cnt, idx_j[live & ~cut], 1.0)
     safe = cut & (deg_cnt[idx_i] > 0) & (deg_cnt[idx_j] > 0)
     if safe.any():
-        _sweeps(np.where(safe, 0.0, w0))
-    return R.astype(np.float64), comp
+        ang = _sweeps(np.where(safe, 0.0, w0))
+        ang = np.where(safe, np.inf, ang)   # cut edges stay flagged gross
+    return R.astype(np.float64), comp, ang
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +293,7 @@ def translation_averaging(
     num_rounds: int = 4,
     centers0: np.ndarray | None = None,
     huber: float = 0.1,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """Camera centers from pairwise world-frame direction constraints.
 
     pairs [E, 2], directions [E, 3] unit vectors d_ij (center i -> center j
@@ -314,7 +317,11 @@ def translation_averaging(
 
     Gauge: output is centered with median projected baseline = 1 and
     majority-positive direction signs; callers align to their frame with a
-    sim3 (umeyama_np). Cameras outside `valid` return center 0.
+    sim3 (umeyama_np). Returns (centers [N, 3], solved [N]): `solved` marks
+    the largest connected component of the SURVIVING edge graph (weight > 0,
+    finite directions, both endpoints `valid`); all other cameras return
+    center 0 — dropping gross edges may disconnect cameras that rotation
+    averaging could still reach.
     """
     from scipy.sparse import coo_matrix, identity
     from scipy.sparse.linalg import splu
@@ -323,16 +330,22 @@ def translation_averaging(
     d = np.asarray(directions, np.float64)
     keep = valid[pairs[:, 0]] & valid[pairs[:, 1]]
     keep &= np.isfinite(d).all(axis=1)
+    if weights is not None:
+        keep &= np.asarray(weights, np.float64) > 0
     pairs, d = pairs[keep], d[keep]
-    E = len(pairs)
     centers = np.zeros((num_images, 3))
-    if E == 0:
-        return centers
-    w0 = np.ones(E) if weights is None else np.asarray(weights, np.float64)[keep]
+    if len(pairs) == 0:
+        return centers, np.zeros(num_images, bool)
+    w0 = np.ones(len(pairs)) if weights is None \
+        else np.asarray(weights, np.float64)[keep]
+    solved = _largest_component(pairs, num_images) & valid
+    ecomp = solved[pairs[:, 0]] & solved[pairs[:, 1]]
+    pairs, d, w0 = pairs[ecomp], d[ecomp], w0[ecomp]
+    E = len(pairs)
     w0 = np.maximum(w0 / max(w0.mean(), 1e-12), 1e-6)
     d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
 
-    ids = np.where(valid)[0]
+    ids = np.where(solved)[0]
     remap = -np.ones(num_images, np.int64)
     remap[ids] = np.arange(len(ids))
     pi, pj = remap[pairs[:, 0]], remap[pairs[:, 1]]
@@ -395,7 +408,7 @@ def translation_averaging(
         c = c / max(abs(med), 1e-12)
 
     centers[ids] = c
-    return centers
+    return centers, solved
 
 
 # ---------------------------------------------------------------------------
@@ -422,15 +435,23 @@ def pose_graph_poses(graph, num_images: int,
     rel_t = np.asarray(graph.tvec)[use]
     wts = np.asarray(graph.num_inliers)[use].astype(np.float64)
 
-    R, valid = rotation_averaging(pairs, rel_r, num_images, weights=wts)
+    R, valid, res_rad = rotation_averaging(pairs, rel_r, num_images,
+                                           weights=wts)
     # World-frame center direction per edge: d = -R_i^T R_ij^T t_ij.
     Rrel = _so3_exp_np(rel_r)
     Ri = R[pairs[:, 0]] if len(pairs) else np.zeros((0, 3, 3))
     d = -np.einsum("eji,ekj,ek->ei", Ri, Rrel, rel_t) if len(pairs) else rel_t
-    centers = translation_averaging(pairs, d, num_images, valid, weights=wts)
+    # Gross-rotation edges carry corrupt translations too (a bad two-view
+    # pose is bad as a unit): zero them out of the direction solve.
+    t_wts = wts.copy()
+    if len(res_rad):
+        med = np.median(res_rad[np.isfinite(res_rad)]) if np.isfinite(res_rad).any() else 0.0
+        t_wts[res_rad > max(3.0 * med, np.radians(10.0))] = 0.0
+    centers, solved = translation_averaging(pairs, d, num_images, valid,
+                                            weights=t_wts)
     rvecs = _so3_log_np(R)
     tvecs = -np.einsum("nij,nj->ni", R, centers)
-    return rvecs.astype(np.float32), tvecs.astype(np.float32), valid
+    return rvecs.astype(np.float32), tvecs.astype(np.float32), solved
 
 
 def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False) -> bool:

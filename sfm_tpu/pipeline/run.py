@@ -128,6 +128,13 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             from sfm_tpu.pipeline.two_view import bootstrap_two_view
 
             rec = bootstrap_two_view(feats, graph, int(ok_edges[0]), intrinsics, cfg)
+    elif cfg.engine_mode == "global":
+        with timer.stage("global_sfm"):
+            from sfm_tpu.pipeline.global_engine import global_reconstruct
+
+            rec = global_reconstruct(feats, graph, intrinsics, cfg)
+    elif cfg.engine_mode != "incremental":
+        raise ValueError(f"unknown engine_mode: {cfg.engine_mode}")
     else:
         with timer.stage("incremental"):
             if cfg.partition.enabled:

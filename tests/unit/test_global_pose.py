@@ -87,7 +87,7 @@ def _center_rmse_after_sim3(c_est, c_gt):
 def test_rotation_averaging_exact():
     scene = make_orbit_scene(num_cameras=40, num_points=10, seed=3)
     g = _graph_from_scene(scene)
-    R, valid = rotation_averaging(g.pairs, g.rvec, 40,
+    R, valid, _ = rotation_averaging(g.pairs, g.rvec, 40,
                                   weights=g.num_inliers.astype(float))
     assert valid.sum() == 40
     assert _gauge_spread_deg(R, _so3_exp_np(scene.rvecs), valid) < 0.01
@@ -96,7 +96,7 @@ def test_rotation_averaging_exact():
 def test_rotation_averaging_robust_to_outliers():
     scene = make_orbit_scene(num_cameras=48, num_points=10, seed=4)
     g = _graph_from_scene(scene, noise_deg=0.5, outlier_frac=0.10, seed=5)
-    R, valid = rotation_averaging(g.pairs, g.rvec, 48,
+    R, valid, _ = rotation_averaging(g.pairs, g.rvec, 48,
                                   weights=g.num_inliers.astype(float))
     assert valid.sum() == 48
     # 10% gross outlier edges + 0.5 deg noise: IRLS must keep the solution
@@ -113,7 +113,8 @@ def test_translation_averaging_recovers_centers():
     # Exact world-frame directions from ground truth.
     d = c_gt[g.pairs[:, 1]] - c_gt[g.pairs[:, 0]]
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    c = translation_averaging(g.pairs, d, N, np.ones(N, bool))
+    c, solved = translation_averaging(g.pairs, d, N, np.ones(N, bool))
+    assert solved.sum() == N
     # Orbit radius 4.0: up-to-sim3 recovery should be essentially exact.
     assert _center_rmse_after_sim3(c, c_gt) < 1e-3
 
@@ -168,5 +169,6 @@ def test_translation_averaging_disconnected_cameras_stay_zero():
     valid[12:] = False   # two extra cameras with no edges
     d = np.zeros((len(g.pairs), 3))
     d[:, 0] = 1.0
-    c = translation_averaging(g.pairs, d, 14, valid)
+    c, solved = translation_averaging(g.pairs, d, 14, valid)
+    assert not solved[12:].any()
     assert np.all(c[12:] == 0.0)
