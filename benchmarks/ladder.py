@@ -2,10 +2,12 @@
 scale on synthetic blob scenes with ground truth, reporting per-stage
 wall-clock + accuracy vs GT.
 
-    python benchmarks/ladder.py [num_images] [image_size] [pair_mode] [partition]
+    python benchmarks/ladder.py [num_images] [image_size] [pair_mode] [partition|global]
 
 Ladder mapping: 2 -> config #1 (two-view), ~46 -> #2 (Temple-Ring-like),
 100-500 + vocab_tree -> #3, 1-2k -> #4, 10k+ + partition -> #5.
+4th arg "partition" = divide-and-conquer incremental; "global" = the
+global-SfM engine (pose averaging + one triangulation + global BA).
 Appends a row to benchmarks/ladder_log.jsonl.
 """
 
@@ -30,6 +32,8 @@ def main():
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 384
     pair_mode = sys.argv[3] if len(sys.argv) > 3 else "exhaustive"
     partition = len(sys.argv) > 4 and sys.argv[4] == "partition"
+    engine_mode = "global" if (len(sys.argv) > 4 and sys.argv[4] == "global") \
+        else "incremental"
 
     import jax.numpy as jnp
 
@@ -86,6 +90,7 @@ def main():
             parallel_clusters=4 if n >= 256 else 1,
         ),
         pair_mode=pair_mode,
+        engine_mode=engine_mode,
         verbose=True,
         # Stage artifacts keyed by config+input hash: a crashed/iterated
         # run at 1-10k scale resumes past the ~25-min feature stage. One dir
@@ -111,6 +116,7 @@ def main():
 
     row = {
         "n_images": n, "image_size": size, "pair_mode": pair_mode, "partition": partition,
+        "engine_mode": engine_mode,
         "wall_clock_s": t_total, "render_s": t_render,
         "summary": rec.summary(), "camera_rmse_vs_gt": rmse,
     }
