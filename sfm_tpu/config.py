@@ -76,6 +76,19 @@ class VocabConfig:
     num_neighbors: int = 20             # candidate pairs retained per image
     kmeans_iters: int = 8
     training_desc_per_image: int = 256
+    retrieval_spread_scales: int = 8    # stratified top-k: half the neighbor
+                                        # budget takes the top similarity
+                                        # ranks, the rest spreads
+                                        # geometrically over ranks up to
+                                        # ~(k/2)·2^scales. Pure nearest-rank
+                                        # retrieval (0 = off) starves large
+                                        # sequential captures of long-range
+                                        # edges — at 10k images every
+                                        # verified edge landed within ±8 ring
+                                        # neighbors and the pose chain drifted
+                                        # (NOTES.md round-3 root cause #3);
+                                        # band tops reach far-but-overlapping
+                                        # views at the SAME pair budget.
 
 
 @dataclass(frozen=True)
@@ -154,6 +167,19 @@ class ShardConfig:
     mesh_axis: str = "shard"
     ring_matching: bool = True          # ppermute descriptor-shard ring for all-pairs
     shard_ba: bool = True               # camera-block-sharded BA with psum reductions
+
+    # Multi-host (SURVEY.md §5.8): one process per host, chips of the whole
+    # slice visible to each process after jax.distributed.initialize. The
+    # collective code paths are host-count-agnostic (they address the mesh,
+    # not processes); this block only controls the runtime handshake.
+    # On TPU pods all three fields may be left None — JAX auto-detects the
+    # coordinator from the TPU metadata. Off-pod (or forcing), set all three
+    # (e.g. via CLI: shard.coordinator_address=10.0.0.1:8476
+    # shard.num_processes=4 shard.process_id=$SLURM_PROCID).
+    multihost: bool = False             # call jax.distributed.initialize at startup
+    coordinator_address: str | None = None
+    num_processes: int | None = None
+    process_id: int | None = None
 
 
 @dataclass(frozen=True)

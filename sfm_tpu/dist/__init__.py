@@ -11,4 +11,4 @@ functions and XLA collectives over ICI/DCN:
     and CG products completed with psum (§2.7)
 """
 
-from sfm_tpu.dist.mesh import make_mesh  # noqa: F401
+from sfm_tpu.dist.mesh import initialize_multihost, make_mesh  # noqa: F401

@@ -17,6 +17,11 @@ _STREAMING_MIN_IMAGES = 33  # above this, decode streams chunk-by-chunk
 
 
 def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
+    if cfg.shard.multihost:
+        # Must run before any other backend use in this process; idempotent.
+        from sfm_tpu.dist.mesh import initialize_multihost
+        initialize_multihost(cfg.shard)
+
     timer = StageTimer(verbose=cfg.verbose, profile_dir=cfg.profile_dir)
 
     # Large path-based inputs stream through the feature stage (decode
