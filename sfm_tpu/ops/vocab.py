@@ -313,6 +313,38 @@ def _topk_neighbors(bow: jnp.ndarray, k: int) -> jnp.ndarray:
     return jax.lax.top_k(sim, k)[1]
 
 
+def spread_ranks(k: int, num_candidates: int, scales: int) -> list[int]:
+    """Stratified retrieval budget: k distinct similarity ranks in
+    [0, num_candidates).
+
+    The first ceil(k/2) ranks are the plain nearest ranks (local edges carry
+    most of the verified matches); the remainder are the TOPS of geometric
+    rank bands out to ~(k/2)·2^scales — each far pick is the most-similar
+    image in its band, so the budget buys long-range edges that actually
+    overlap instead of random far pairs. Deterministic and shape-static.
+    """
+    n = num_candidates
+    if k >= n or scales <= 0:
+        return list(range(min(k, n)))
+    k_near = max(1, (k + 1) // 2)
+    ranks = list(range(min(k_near, n)))
+    k_far = k - len(ranks)
+    if k_far > 0:
+        lo = float(max(len(ranks), 1))
+        hi = float(min(n - 1, max(lo * (2.0 ** scales), lo + 1)))
+        taken = set(ranks)
+        for i in range(k_far):
+            r = int(round(lo * (hi / lo) ** ((i + 1) / k_far)))
+            r = min(max(r, 0), n - 1)
+            while r in taken and r < n - 1:   # collisions walk outward
+                r += 1
+            while r in taken and r > 0:       # ...or inward at the boundary
+                r -= 1
+            taken.add(r)
+            ranks.append(r)
+    return sorted(set(ranks))[:k]
+
+
 def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0,
                      verbose: bool = False) -> np.ndarray:
     """Candidate pair list via vocab-tree retrieval (replaces exhaustive).
@@ -352,8 +384,13 @@ def vocab_tree_pairs(feats, cfg: VocabConfig, seed: int = 0,
     bow = bow_vectors(tree, desc, valid, words=words)    # [B, W]
     # Score + top-k ON DEVICE: the [B, B] similarity matrix is 400MB at 10k
     # images — shipping it to host for argpartition is pure link traffic;
-    # only the [B, k] neighbor ids come back.
-    nbrs = np.asarray(_topk_neighbors(bow, k))
+    # only the [B, k] neighbor ids come back. Retrieval is STRATIFIED
+    # (spread_ranks): the device returns the top-M ranking and the budget
+    # selects band tops so large sequential corpora get long-range candidate
+    # edges natively, not just the ±k nearest ring neighbors.
+    ranks = spread_ranks(k, B - 1, cfg.retrieval_spread_scales)
+    m = (ranks[-1] + 1) if ranks else k
+    nbrs = np.asarray(_topk_neighbors(bow, m))[:, ranks]
     t2 = time.perf_counter()
     if verbose:
         print(f"[sfm_tpu]   vocab: build {t1 - t0:.2f}s, "

@@ -47,7 +47,10 @@ def test_retrieval_finds_same_cluster_images():
         angle=np.zeros((B, N), np.float32), response=np.ones((B, N), np.float32),
         desc=desc, valid=np.ones((B, N), bool),
     )
-    cfg = VocabConfig(branching=4, depth=3, num_neighbors=3, kmeans_iters=5, training_desc_per_image=64)
+    # retrieval_spread_scales=0: pure nearest-rank retrieval, so every
+    # pick should land in the same appearance cluster.
+    cfg = VocabConfig(branching=4, depth=3, num_neighbors=3, kmeans_iters=5,
+                      training_desc_per_image=64, retrieval_spread_scales=0)
     pairs = vocab_tree_pairs(feats, cfg, seed=0)
     assert len(pairs) > 0
     # Most retrieved pairs connect images of the same appearance cluster.
@@ -55,3 +58,48 @@ def test_retrieval_finds_same_cluster_images():
     assert same > 0.8, same
     # And it prunes: fewer pairs than exhaustive.
     assert len(pairs) < B * (B - 1) // 2
+
+
+def test_stratified_retrieval_keeps_near_precision_and_adds_reach():
+    desc, labels = clustered_descriptors()
+    B, N, _ = desc.shape
+    feats = FeatureSet(
+        xy=np.zeros((B, N, 2), np.float32), sigma=np.ones((B, N), np.float32),
+        angle=np.zeros((B, N), np.float32), response=np.ones((B, N), np.float32),
+        desc=desc, valid=np.ones((B, N), bool),
+    )
+    cfg = VocabConfig(branching=4, depth=3, num_neighbors=4, kmeans_iters=5,
+                      training_desc_per_image=64)  # default spread ON
+    pairs = vocab_tree_pairs(feats, cfg, seed=0)
+    # The near half of the budget still finds the appearance cluster. With
+    # B=12 / k=4 the far bands are 2 of 4 picks and (tiny corpus) almost
+    # always cross-cluster, so ~0.4-0.5 is the design point — what must NOT
+    # happen is the near picks losing the cluster (same ≈ 1/3 = chance).
+    same = np.mean([labels[i] == labels[j] for i, j in pairs])
+    assert same > 0.35, same
+    # And the far bands add cross-cluster (long-range) candidates that pure
+    # top-k retrieval would never propose.
+    cfg0 = VocabConfig(branching=4, depth=3, num_neighbors=4, kmeans_iters=5,
+                       training_desc_per_image=64, retrieval_spread_scales=0)
+    pairs0 = vocab_tree_pairs(feats, cfg0, seed=0)
+    cross = np.sum([labels[i] != labels[j] for i, j in pairs])
+    cross0 = np.sum([labels[i] != labels[j] for i, j in pairs0])
+    assert cross > cross0
+
+
+def test_spread_ranks_properties():
+    from sfm_tpu.ops.vocab import spread_ranks
+
+    # k distinct in-range ranks, near half dense, far half reaching deep.
+    r = spread_ranks(12, 9999, scales=8)
+    assert len(r) == 12 and len(set(r)) == 12
+    assert all(0 <= x < 9999 for x in r)
+    assert r[:6] == [0, 1, 2, 3, 4, 5]          # near half dense
+    assert max(r) >= 512                        # far half reaches deep
+    # Degenerate corpora: never more ranks than candidates.
+    assert spread_ranks(8, 5, scales=8) == [0, 1, 2, 3, 4]
+    # scales=0 is pure top-k.
+    assert spread_ranks(6, 100, scales=0) == [0, 1, 2, 3, 4, 5]
+    # Collisions at a tiny candidate pool still produce distinct ranks.
+    r = spread_ranks(7, 8, scales=8)
+    assert len(r) == 7 and len(set(r)) == 7
