@@ -1,0 +1,179 @@
+"""OpenCV-CPU incremental SfM — the reference-pipeline stand-in at the
+RECONSTRUCTION level (SURVEY §4.3; earlier cpu_oracle.py stops at
+match+verify). Classic recipe, pure OpenCV primitives: SIFT, BF ratio
+matching, essential-matrix bootstrap (recoverPose), PnP registration
+(solvePnPRansac), pairwise triangulation, reprojection-gated point upkeep.
+No bundle adjustment — OpenCV ships none, so this is the floor a real CPU
+reference would improve on; fidelity comparisons against ground truth are
+the primary signal, wall-clock the secondary.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def opencv_incremental(paths, f_px=None, ratio=0.8, min_pair_inliers=30,
+                       pnp_min=12, reproj_gate_px=4.0):
+    """Returns dict with rvecs/tvecs [N,3] (world->cam), registered mask,
+    mean reprojection error, point count, wall-clock seconds."""
+    import cv2
+
+    t0 = time.perf_counter()
+    imgs = [cv2.imread(p, cv2.IMREAD_GRAYSCALE) for p in paths]
+    n = len(imgs)
+    h, w = imgs[0].shape
+    if f_px is None:
+        f_px = 1.2 * max(h, w)
+    K = np.array([[f_px, 0, w / 2], [0, f_px, h / 2], [0, 0, 1]], np.float64)
+
+    sift = cv2.SIFT_create(nfeatures=1024)
+    kps, descs = [], []
+    for im in imgs:
+        kp, de = sift.detectAndCompute(im, None)
+        kps.append(np.float64([k.pt for k in kp]) if kp else np.zeros((0, 2)))
+        descs.append(de)
+
+    # All-pairs ratio matching + E verification.
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    pair_matches = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if descs[i] is None or descs[j] is None:
+                continue
+            mm = bf.knnMatch(descs[i], descs[j], k=2)
+            good = [(m.queryIdx, m.trainIdx) for m, nn in mm
+                    if m.distance < ratio * nn.distance]
+            if len(good) < min_pair_inliers:
+                continue
+            qi = np.asarray([g[0] for g in good])
+            tj = np.asarray([g[1] for g in good])
+            E, inl = cv2.findEssentialMat(kps[i][qi], kps[j][tj], K,
+                                          method=cv2.RANSAC, prob=0.999,
+                                          threshold=2.0)
+            if E is None or inl is None or int(inl.sum()) < min_pair_inliers:
+                continue
+            keep = inl.ravel().astype(bool)
+            pair_matches[(i, j)] = (qi[keep], tj[keep], E)
+
+    if not pair_matches:
+        return dict(registered=np.zeros(n, bool), rvecs=np.zeros((n, 3)),
+                    tvecs=np.zeros((n, 3)), mean_reproj_px=float("nan"),
+                    num_points=0, wall_clock_s=time.perf_counter() - t0)
+
+    # Bootstrap from the strongest pair.
+    (i0, j0), (qi, tj, E) = max(pair_matches.items(), key=lambda kv: len(kv[1][0]))
+    _, R, t, inl = cv2.recoverPose(E, kps[i0][qi], kps[j0][tj], K)
+    poses = {i0: (np.eye(3), np.zeros(3)), j0: (R, t.ravel())}
+
+    # obs[(img, kp)] -> point id; pts3d list of 3D points.
+    pts3d, obs = [], {}
+
+    def proj_mat(img):
+        R, t = poses[img]
+        return K @ np.hstack([R, t.reshape(3, 1)])
+
+    def triangulate_pair(a, b):
+        """Add new points seen in registered images a < b."""
+        if (a, b) not in pair_matches:
+            return
+        qa, tb, _ = pair_matches[(a, b)]
+        new = [(x, y) for x, y in zip(qa, tb)
+               if (a, x) not in obs or (b, y) not in obs]
+        if not new:
+            return
+        qa = np.asarray([x for x, _ in new])
+        tb = np.asarray([y for _, y in new])
+        X = cv2.triangulatePoints(proj_mat(a), proj_mat(b),
+                                  kps[a][qa].T, kps[b][tb].T)
+        X = (X[:3] / np.where(np.abs(X[3]) < 1e-12, 1e-12, X[3])).T
+        for (x, y), Xw in zip(new, X):
+            # Cheirality + reprojection gate in both views.
+            ok = True
+            for img, kp_id in ((a, x), (b, y)):
+                R, t = poses[img]
+                xc = R @ Xw + t
+                if xc[2] <= 1e-6:
+                    ok = False
+                    break
+                uv = (K @ xc)[:2] / xc[2]
+                if np.linalg.norm(uv - kps[img][kp_id]) > reproj_gate_px:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            pid = obs.get((a, x), obs.get((b, y)))
+            if pid is None:
+                pid = len(pts3d)
+                pts3d.append(Xw)
+            obs.setdefault((a, x), pid)
+            obs.setdefault((b, y), pid)
+
+    triangulate_pair(*sorted((i0, j0)))
+
+    # Incremental registration: most 2D-3D correspondences first.
+    for _ in range(n):
+        best, best_c = None, pnp_min - 1
+        for img in range(n):
+            if img in poses:
+                continue
+            c = _pnp_corrs(img, poses, pair_matches, obs)
+            if len(c) > best_c:
+                best, best_c, best_corr = img, len(c), c
+        if best is None:
+            break
+        pts = np.float64([pts3d[pid] for pid, _ in best_corr])
+        uv = np.float64([kps[best][kp] for _, kp in best_corr])
+        ok, rv, tv, inl = cv2.solvePnPRansac(pts, uv, K, None,
+                                             reprojectionError=reproj_gate_px,
+                                             iterationsCount=500,
+                                             flags=cv2.SOLVEPNP_EPNP)
+        if not ok or inl is None or len(inl) < pnp_min:
+            break
+        poses[best] = (cv2.Rodrigues(rv)[0], tv.ravel())
+        for other in sorted(poses):
+            if other != best:
+                triangulate_pair(*sorted((other, best)))
+
+    # Mean reprojection over all observations.
+    errs = []
+    for (img, kp_id), pid in obs.items():
+        if img not in poses:
+            continue
+        R, t = poses[img]
+        xc = R @ pts3d[pid] + t
+        if xc[2] > 1e-6:
+            uv = (K @ xc)[:2] / xc[2]
+            errs.append(np.linalg.norm(uv - kps[img][kp_id]))
+
+    registered = np.zeros(n, bool)
+    rvecs = np.zeros((n, 3))
+    tvecs = np.zeros((n, 3))
+    for img, (R, t) in poses.items():
+        registered[img] = True
+        rvecs[img] = cv2.Rodrigues(R)[0].ravel()
+        tvecs[img] = t
+    return dict(registered=registered, rvecs=rvecs, tvecs=tvecs,
+                mean_reproj_px=float(np.mean(errs)) if errs else float("nan"),
+                num_points=len(pts3d),
+                wall_clock_s=time.perf_counter() - t0)
+
+
+def _pnp_corrs(img, poses, pair_matches, obs):
+    """2D-3D correspondences for an unregistered image via pair matches to
+    registered images."""
+    corr = {}
+    for (a, b), (qa, tb, _) in pair_matches.items():
+        if a == img and b in poses:
+            for x, y in zip(qa, tb):
+                pid = obs.get((b, y))
+                if pid is not None:
+                    corr[x] = pid
+        elif b == img and a in poses:
+            for x, y in zip(qa, tb):
+                pid = obs.get((a, x))
+                if pid is not None:
+                    corr[y] = pid
+    return [(pid, kp) for kp, pid in corr.items()]
