@@ -157,6 +157,12 @@ class EngineConfig:
     filter_every: int = 1
     retriangulate_every: int = 10
     checkpoint_every: int = 25          # SceneState snapshots (SURVEY.md §5.3)
+    # Global engine (engine_mode="global", SURVEY.md §0.1[K]): track
+    # fuse -> reposition -> retriangulate -> BA rounds after the first
+    # polish. Fragmented union-find tracks carry no long-range constraint;
+    # these rounds consolidate them and re-solve centers+points against the
+    # longer tracks (pipeline/global_engine.py).
+    global_refine_rounds: int = 3
 
 
 @dataclass(frozen=True)

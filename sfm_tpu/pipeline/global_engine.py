@@ -48,7 +48,8 @@ def global_reconstruct(
     with the partition pipeline).
     """
     from sfm_tpu.pipeline.global_pose import (
-        pose_graph_poses, retriangulate_reconstruction,
+        pose_graph_poses, reposition_reconstruction,
+        retriangulate_reconstruction,
     )
     from sfm_tpu.pipeline.partition import _merged_polish, _rescue_unregistered
     from sfm_tpu.scene.tracks import build_tracks
@@ -98,6 +99,14 @@ def global_reconstruct(
         obs_uv=feats.xy[oi, okp].astype(np.float32),
     )
 
+    # Global positioning (GLOMAP-class): pairwise translation averaging is
+    # only the SEED — the production center/point solve is the joint
+    # observation-ray problem (global_pose.global_positioning). Measured on
+    # the 512-orbit vocab graph (benchmarks/global_diag.py): averaging
+    # alone 42% center RMSE, + positioning 33%, and the remaining bend is
+    # track fragmentation, which the fuse->reposition rounds below remove.
+    rec.point_valid[:] = True
+    reposition_reconstruction(rec, verbose=cfg.verbose)
     n_tri = retriangulate_reconstruction(rec, cfg=cfg)
     if cfg.verbose:
         print(f"[sfm_tpu] global engine: {int(valid.sum())}/{B} cameras "
@@ -110,6 +119,34 @@ def global_reconstruct(
     # BA -> filter -> BA global polish (shared with the merged-model path:
     # same robust solve, same capacity bucketing, same sharded dispatch).
     _merged_polish(rec, cfg)
+
+    # Fuse -> reposition -> retriangulate -> polish rounds: raw union-find
+    # tracks are fragmented (build_tracks cuts same-image keypoint
+    # conflicts), and fragments carry no long-range constraint, so both the
+    # ray objective and BA are nearly flat along low-frequency bends. Vote
+    # fusion (verified correspondences whose endpoints landed in different
+    # points) reconnects fragments; the bend is low-frequency, so fragment
+    # copies of one physical point are locally CLOSE and a generous
+    # distance gate on the first round is safe. Each round then re-solves
+    # centers+points against the consolidated (longer) tracks.
+    from sfm_tpu.pipeline.merge import merge_tracks_by_correspondence
+
+    for rnd in range(cfg.engine.global_refine_rounds):
+        n_fused = merge_tracks_by_correspondence(
+            rec, graph, min_votes=2,
+            dist_frac=0.15 if rnd == 0 else 0.05, verbose=cfg.verbose)
+        if n_fused == 0:
+            # Nothing consolidated -> the reposition/retriangulate churn
+            # below would only erode the polished model (measured on the
+            # 512-orbit diag: RMSE 1.17 -> 3.74, points 9249 -> 410 when
+            # round 0 ran with zero fusions). Union-find already consumed
+            # every correspondence on the full graph, so votes only exist
+            # after partitioned reconstruction; proximity fusion is the
+            # full-graph consolidation path.
+            break
+        reposition_reconstruction(rec, verbose=cfg.verbose)
+        retriangulate_reconstruction(rec, cfg=cfg)
+        _merged_polish(rec, cfg)
 
     if not rec.registered.all():
         if _rescue_unregistered(rec, feats, graph, intrinsics, cfg):

@@ -316,9 +316,31 @@ def rotation_averaging(
     np.add.at(deg_cnt, idx_i[live & ~cut], 1.0)
     np.add.at(deg_cnt, idx_j[live & ~cut], 1.0)
     safe = cut & (deg_cnt[idx_i] > 0) & (deg_cnt[idx_j] > 0)
+    w_cur = np.where(safe, 0.0, w0)
     if safe.any():
-        ang = _sweeps(np.where(safe, 0.0, w0))
-        ang = np.where(safe, np.inf, ang)   # cut edges stay flagged gross
+        ang = _sweeps(w_cur)
+    # Annealing passes: the initial huber scale must be wide (spanning-tree
+    # init leaves large residuals everywhere), but real graphs have
+    # sub-degree median edge noise with a heavy 1-10 degree tail that a
+    # 10-degree Huber leaves at FULL weight — measured on the 512-orbit
+    # vocab graph this tail dragged the averaged rotations to 2.9 degrees
+    # median vs 0.36 median edge error (benchmarks/pg_diag.py). Re-solve
+    # with the scale annealed to the solution's own residual level, cutting
+    # newly-gross edges each round (connectivity-guarded as above).
+    for _ in range(2):
+        live = in_comp & (w_cur > 0)
+        if not live.any():
+            break
+        med = np.median(ang[live])
+        huber = max(2.0 * med, np.radians(0.25))
+        cut = ang > max(4.0 * med, huber)
+        deg_cnt = np.zeros(num_images)
+        np.add.at(deg_cnt, idx_i[live & ~cut], 1.0)
+        np.add.at(deg_cnt, idx_j[live & ~cut], 1.0)
+        drop = cut & (deg_cnt[idx_i] > 0) & (deg_cnt[idx_j] > 0)
+        w_cur = np.where(drop, 0.0, w_cur)
+        ang = _sweeps(w_cur)
+    ang = np.where(w_cur <= 0, np.inf, ang)   # cut edges stay flagged gross
     return R.astype(np.float64), comp, ang
 
 
@@ -452,6 +474,322 @@ def translation_averaging(
 
     centers[ids] = c
     return centers, solved
+
+
+def global_positioning(
+    obs_cam: np.ndarray,
+    obs_point: np.ndarray,
+    rays: np.ndarray,
+    num_images: int,
+    num_points: int,
+    valid_cam: np.ndarray,
+    centers0: np.ndarray | None = None,
+    points0: np.ndarray | None = None,
+    rounds: int = 4,
+    inv_iters: int = 3,
+    cg_iters: int = 120,
+    theta_huber_start_deg: float = 8.0,
+    theta_huber_floor_deg: float = 1.5,
+    verbose: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Joint camera-center + point positioning from observation rays.
+
+    The GLOMAP-class replacement for PAIRWISE translation averaging: with
+    camera rotations fixed (rotation averaging), solve every camera center
+    c_i AND every track point X_p at once from the world-frame observation
+    rays v_ip = R_i^T K^{-1} u_ip, minimizing the robustly-weighted
+    perpendicular deviation
+
+        sum_obs  w_ip || [v_ip]_x (X_p - c_i) ||^2 / depth_ip^2
+
+    (the cross product kills the component ALONG the ray — per-observation
+    depth is eliminated analytically, keeping the problem linear; the
+    1/depth^2 IRLS normalization converts the raw perpendicular distance to
+    an ANGULAR residual so far structure doesn't dominate, and a Huber
+    weight on that angle plus a cheirality gate handles gross matches).
+
+    Why this replaces translation_averaging as the production path: pairwise
+    direction averaging uses E edge directions (~5 per camera on band
+    graphs) and measured a 42% center RMSE on the 512-orbit vocab graph,
+    while the observation-ray objective uses every track observation (~365x
+    more constraints there) and couples all cameras seeing a track through
+    one shared 3D point — benchmarks/global_diag.py measures the delta.
+    Pairwise averaging remains as the SEED for this solve.
+
+    Structure: identical to translation_averaging's (the true configuration
+    spans the deflated nullspace of a projected graph Laplacian, here over
+    the camera-point bipartite graph), so the solver is the same inverse
+    iteration with translation deflation — but at 3(N+P) unknowns a direct
+    factorization would fill in across the bipartite coupling, so each
+    solve is block-Jacobi-preconditioned CG with IMPLICIT matvecs (never
+    materializing [E, 3, 3] blocks: M_e x = w_e (x - v (v.x))).
+
+    Host numpy by design (SURVEY.md §7: pose-graph solves are host
+    bookkeeping); ~200k observations solve in seconds, and the matvec is
+    O(obs) so Rome16K-scale (~5M obs) stays in minutes.
+
+    Returns (centers [N, 3], points [P, 3], solved_cam [N], solved_pt [P]).
+    Gauge: majority-positive depth sign, median depth = 1, centers+points
+    centered at 0 — arbitrary, callers sim3-align downstream.
+    """
+    oc = np.asarray(obs_cam, np.int64)
+    op = np.asarray(obs_point, np.int64)
+    v = np.asarray(rays, np.float64)
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+    keep = np.asarray(valid_cam, bool)[oc] & np.isfinite(v).all(axis=1)
+    # A point needs >= 2 observations to be positioned (1 ray constrains
+    # only its perpendicular plane); drop rather than damp.
+    cnt = np.bincount(op[keep], minlength=num_points)
+    keep &= cnt[op] >= 2
+    oc, op, v = oc[keep], op[keep], v[keep]
+    if len(oc) == 0:
+        return (np.zeros((num_images, 3)), np.zeros((num_points, 3)),
+                np.zeros(num_images, bool), np.zeros(num_points, bool))
+
+    cams = np.unique(oc)
+    pts = np.unique(op)
+    cmap = -np.ones(num_images, np.int64)
+    cmap[cams] = np.arange(len(cams))
+    pmap = -np.ones(num_points, np.int64)
+    pmap[pts] = np.arange(len(pts))
+    oc_l, op_l = cmap[oc], pmap[op]
+    nc, npt = len(cams), len(pts)
+
+    # Init: seed centers (translation averaging / spanning tree) + points
+    # (DLT triangulation when available; unit-depth along the first ray
+    # otherwise).
+    c = (np.asarray(centers0, np.float64)[cams].copy()
+         if centers0 is not None else np.zeros((nc, 3)))
+    if points0 is not None:
+        X = np.asarray(points0, np.float64)[pts].copy()
+        bad = ~np.isfinite(X).all(axis=1)
+    else:
+        X = np.zeros((npt, 3))
+        bad = np.ones(npt, bool)
+    if bad.any():
+        # Midpoint triangulation from the seed centers: per point solve
+        # (sum_e I - v v^T) X = sum_e (I - v v^T) c_e — batched 3x3,
+        # damped for near-parallel ray bundles. Keeps the round-0 seed
+        # gate meaningful (a unit-depth init would grade every true ray
+        # of a far point as gross).
+        Mo = np.eye(3)[None] - v[:, :, None] * v[:, None, :]
+        A = np.zeros((npt, 3, 3))
+        b = np.zeros((npt, 3))
+        np.add.at(A, op_l, Mo)
+        np.add.at(b, op_l, np.einsum("eij,ej->ei", Mo, c[oc_l]))
+        tr = np.trace(A, axis1=1, axis2=2)[:, None, None] / 3.0
+        Xmid = np.linalg.solve(
+            A + 1e-4 * np.maximum(tr, 1e-12) * np.eye(3)[None],
+            b[:, :, None])[:, :, 0]
+        X[bad] = Xmid[bad]
+
+    def _deflate(cc, xx):
+        m = (cc.sum(0) + xx.sum(0)) / (nc + npt)
+        cc, xx = cc - m, xx - m
+        nrm = np.sqrt((cc * cc).sum() + (xx * xx).sum())
+        return cc / max(nrm, 1e-300), xx / max(nrm, 1e-300)
+
+    th_scale = np.radians(theta_huber_start_deg)
+    th_floor = np.radians(theta_huber_floor_deg)
+    best = None
+    best_med = np.inf
+    for rnd in range(rounds):
+        if rnd == 0:
+            # Round 0 is near-UNWEIGHTED least squares: the projectors
+            # I - vv^T are pure data, so the deflated near-null mode is the
+            # global shape regardless of how wrong the seed is. Fine-scale
+            # IRLS weights from seed geometry are poison at this stage — a
+            # 40%-bent seed grades most TRUE constraints as outliers, and
+            # the eigen problem reweighted that way has no shape mode left
+            # to find. The seed IS still good for one thing: a 60-degree
+            # reject gate. Even a badly bent seed puts true rays within a
+            # few tens of degrees, while gross rays (wrong matches) are
+            # uniform — the wide gate halves the contamination without
+            # touching inliers, which is the difference between round 0
+            # landing at ~20% vs ~45% center RMSE under 8% gross rays.
+            w = np.ones(len(oc_l))
+            u = X[op_l] - c[oc_l]
+            dist = np.maximum(np.linalg.norm(u, axis=1), 1e-12)
+            depth = np.einsum("ei,ei->e", u, v)
+            th0 = np.arccos(np.clip(depth / dist, -1.0, 1.0))
+            w = np.where(th0 > np.radians(60.0), 0.0, w)
+        else:
+            u = X[op_l] - c[oc_l]
+            dist = np.maximum(np.linalg.norm(u, axis=1), 1e-12)
+            depth = np.einsum("ei,ei->e", u, v)
+            theta = np.arccos(np.clip(depth / dist, -1.0, 1.0))
+            med_th = float(np.median(theta))
+            if med_th < best_med:
+                best, best_med = (c.copy(), X.copy()), med_th
+            elif med_th > 1.5 * best_med and best is not None:
+                # IRLS wandered off the shape mode — keep the best iterate.
+                c, X = best
+                break
+            scale = max(th_scale, 2.0 * med_th)
+            w_r = np.where(theta <= scale, 1.0,
+                           scale / np.maximum(theta, 1e-12))
+            # Gross rays are REJECTED, not Huber-tapered: a 1/theta taper
+            # leaves ~0.2 weight on 45-degree outliers, and measured on the
+            # 3%-gross synthetic orbit that residue dragged the solve from
+            # 20% (post-round-0) to 36% RMSE instead of down to <1%. The
+            # trim threshold tracks the solution's own residual level
+            # (seed-free), so each round kills the tail the previous round
+            # could still explain away.
+            w_r = np.where(theta > max(4.0 * med_th, scale), 0.0, w_r)
+            # Behind-camera observations are gross (wrong track fusions /
+            # flipped geometry), not noise: hard-zero.
+            w_r = np.where(depth <= 0, 0.0, w_r)
+            pos = depth > 0
+            med_d = np.median(depth[pos]) if pos.any() else 1.0
+            # Angular normalization, clamped: near-camera observations must
+            # not dominate the quadratic form.
+            dn = np.maximum(np.abs(depth), 0.3 * max(med_d, 1e-12))
+            w = w_r / (dn * dn)
+            if verbose:
+                print(f"[sfm_tpu]   positioning round {rnd}: "
+                      f"theta med={np.degrees(med_th):.2f}deg "
+                      f"scale={np.degrees(scale):.2f}deg "
+                      f"behind={int((depth <= 0).sum())}")
+
+        # Block-Jacobi preconditioner: per-row sum of M_e = w (I - v v^T),
+        # shifted. sigma also serves as the inverse-iteration shift.
+        Mdiag_c = np.zeros((nc, 3, 3))
+        Mdiag_p = np.zeros((npt, 3, 3))
+        Mfull = w[:, None, None] * (np.eye(3)[None]
+                                    - v[:, :, None] * v[:, None, :])
+        np.add.at(Mdiag_c, oc_l, Mfull)
+        np.add.at(Mdiag_p, op_l, Mfull)
+        tr = (np.trace(Mdiag_c, axis1=1, axis2=2).sum()
+              + np.trace(Mdiag_p, axis1=1, axis2=2).sum()) / (3 * (nc + npt))
+        sigma = 1e-6 * max(tr, 1e-300)
+        eye = sigma * np.eye(3)
+        Pc = np.linalg.inv(Mdiag_c + eye[None])
+        Pp = np.linalg.inv(Mdiag_p + eye[None])
+
+        def Hx(cc, xx):
+            uu = cc[oc_l] - xx[op_l]
+            t = w[:, None] * (uu - v * np.einsum("ei,ei->e", v, uu)[:, None])
+            out_c = sigma * cc
+            out_x = sigma * xx
+            np.add.at(out_c, oc_l, t)
+            np.subtract.at(out_x, op_l, t)
+            return out_c, out_x
+
+        def pcg(bc, bx):
+            yc = np.zeros_like(bc)
+            yx = np.zeros_like(bx)
+            rc, rx = bc.copy(), bx.copy()
+            zc = np.einsum("nij,nj->ni", Pc, rc)
+            zx = np.einsum("nij,nj->ni", Pp, rx)
+            pc_, px_ = zc.copy(), zx.copy()
+            rz = (rc * zc).sum() + (rx * zx).sum()
+            b2 = (bc * bc).sum() + (bx * bx).sum()
+            for _ in range(cg_iters):
+                qc, qx = Hx(pc_, px_)
+                alpha = rz / max((pc_ * qc).sum() + (px_ * qx).sum(), 1e-300)
+                yc += alpha * pc_
+                yx += alpha * px_
+                rc -= alpha * qc
+                rx -= alpha * qx
+                r2 = (rc * rc).sum() + (rx * rx).sum()
+                if r2 <= 1e-10 * b2:
+                    break
+                zc = np.einsum("nij,nj->ni", Pc, rc)
+                zx = np.einsum("nij,nj->ni", Pp, rx)
+                rz_new = (rc * zc).sum() + (rx * zx).sum()
+                pc_ = zc + (rz_new / max(rz, 1e-300)) * pc_
+                px_ = zx + (rz_new / max(rz, 1e-300)) * px_
+                rz = rz_new
+            return yc, yx
+
+        cc, xx = _deflate(c, X)
+        for _ in range(inv_iters):
+            cc, xx = _deflate(*pcg(cc, xx))
+        c, X = cc, xx
+
+        # Gauge: majority-positive depth, median depth 1.
+        depth = np.einsum("ei,ei->e", X[op_l] - c[oc_l], v)
+        if np.median(depth) < 0:
+            c, X, depth = -c, -X, -depth
+        s = np.median(depth[depth > 0]) if (depth > 0).any() else 1.0
+        c, X = c / max(s, 1e-300), X / max(s, 1e-300)
+        th_scale = max(th_scale * 0.5, th_floor)
+
+    # Keep the best iterate by median angular residual (the final IRLS
+    # round has no post-check inside the loop).
+    u = X[op_l] - c[oc_l]
+    dist = np.maximum(np.linalg.norm(u, axis=1), 1e-12)
+    theta = np.arccos(np.clip(np.einsum("ei,ei->e", u, v) / dist, -1.0, 1.0))
+    if best is not None and float(np.median(theta)) > best_med:
+        c, X = best
+
+    centers = np.zeros((num_images, 3))
+    points = np.zeros((num_points, 3))
+    centers[cams] = c
+    points[pts] = X
+    solved_cam = np.zeros(num_images, bool)
+    solved_cam[cams] = True
+    solved_pt = np.zeros(num_points, bool)
+    solved_pt[pts] = True
+    return centers, points, solved_cam, solved_pt
+
+
+def observation_rays(rec) -> np.ndarray:
+    """World-frame unit rays for every observation of `rec` at its CURRENT
+    rotations: v = R_i^T undistort(K^{-1} u). [O, 3] float64."""
+    intr = rec.intrinsics[rec.obs_image]
+    xy = (rec.obs_uv - intr[:, 2:4]) / intr[:, 0:2]
+    k1, k2 = intr[:, 4], intr[:, 5]
+    if np.any(k1) or np.any(k2):
+        x = xy.copy()
+        for _ in range(4):
+            r2 = np.sum(x * x, axis=-1)
+            x = xy / (1.0 + k1 * r2 + k2 * r2 * r2)[..., None]
+        xy = x
+    rays_cam = np.concatenate(
+        [xy.astype(np.float64), np.ones((len(xy), 1))], axis=1)
+    R = _so3_exp_np(rec.rvecs[rec.obs_image].astype(np.float64))
+    v = np.einsum("eji,ej->ei", R, rays_cam)
+    return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+
+def reposition_reconstruction(rec, rounds: int = 4,
+                              verbose: bool = False) -> bool:
+    """Re-solve all camera centers + points of `rec` in place by global
+    positioning (rotations kept), seeded from the current centers. The
+    gauge is re-anchored to the current model with a sim3 so downstream
+    consumers (filters with absolute thresholds, checkpoints) see the same
+    scale. Returns False (untouched) if too few cameras were solvable."""
+    from sfm_tpu.geometry.similarity import umeyama_np
+
+    if rec.obs_point is None or not len(rec.obs_point):
+        return False
+    rays = observation_rays(rec)
+    R_all = _so3_exp_np(rec.rvecs.astype(np.float64))
+    cen0 = -np.einsum("nji,nj->ni", R_all, rec.tvecs.astype(np.float64))
+    live = rec.point_valid[rec.obs_point]
+    oc, op, rays = rec.obs_image[live], rec.obs_point[live], rays[live]
+    c, X, sc, sp = global_positioning(
+        oc, op, rays, len(rec.registered), len(rec.points),
+        rec.registered, centers0=cen0, rounds=rounds, verbose=verbose)
+    both = sc & rec.registered
+    if both.sum() < max(3, 0.5 * rec.registered.sum()):
+        return False
+    s, Rw, t = umeyama_np(c[both], cen0[both])
+    Rw = np.asarray(Rw)
+    c_new = s * c[both] @ Rw.T + np.asarray(t)
+    ids = np.where(both)[0]
+    rec.tvecs[ids] = (-np.einsum("nij,nj->ni", R_all[ids],
+                                 c_new)).astype(np.float32)
+    fuse_pt = sp & rec.point_valid
+    rec.points[fuse_pt] = (s * X[fuse_pt] @ Rw.T
+                           + np.asarray(t)).astype(np.float32)
+    if verbose:
+        moved = float(np.mean(np.linalg.norm(c_new - cen0[both], axis=1)))
+        print(f"[sfm_tpu]   repositioning: {int(both.sum())} cameras, "
+              f"{int(fuse_pt.sum())} points, mean center move {moved:.3f}")
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -172,3 +172,75 @@ def test_translation_averaging_disconnected_cameras_stay_zero():
     c, solved = translation_averaging(g.pairs, d, 14, valid)
     assert not solved[12:].any()
     assert np.all(c[12:] == 0.0)
+
+
+def _positioning_problem(N=64, P=200, noise_deg=0.3, gross_frac=0.0,
+                         bend=0.8, seed=0):
+    """Orbit cameras + points with windowed visibility, noisy world-frame
+    observation rays, and a low-frequency-bent seed (the translation-
+    averaging failure shape global_positioning exists to fix)."""
+    rng = np.random.default_rng(seed)
+    scene = make_orbit_scene(num_cameras=N, num_points=P, radius=4.0,
+                             point_extent=1.2, seed=seed, arc_fraction=1.0)
+    R = _so3_exp_np(scene.rvecs)
+    c_gt = -np.einsum("nji,nj->ni", R, scene.tvecs)
+    X_gt = scene.points
+    cam_ang = np.arctan2(c_gt[:, 2], c_gt[:, 0])
+    pt_ang = rng.uniform(-np.pi, np.pi, P)
+    oc, op = [], []
+    for p in range(P):
+        d = np.abs((cam_ang - pt_ang[p] + np.pi) % (2 * np.pi) - np.pi)
+        vis = np.where(d < np.radians(60))[0]
+        oc.append(vis)
+        op.append(np.full(len(vis), p))
+    oc, op = np.concatenate(oc), np.concatenate(op)
+    u = X_gt[op] - c_gt[oc]
+    v = u / np.linalg.norm(u, axis=1, keepdims=True)
+    ax = rng.normal(size=v.shape)
+    ax -= v * (ax * v).sum(1, keepdims=True)
+    ax /= np.maximum(np.linalg.norm(ax, axis=1, keepdims=True), 1e-12)
+    ang = np.abs(rng.normal(0, np.radians(noise_deg), len(v)))
+    gross = rng.random(len(v)) < gross_frac
+    ang[gross] = rng.uniform(np.radians(5), np.pi / 2, int(gross.sum()))
+    v = v * np.cos(ang)[:, None] + ax * np.sin(ang)[:, None]
+    t = cam_ang
+    c0 = c_gt + bend * np.stack(
+        [np.sin(2 * t), np.cos(3 * t), np.sin(t)], 1)
+    return oc, op, v, c_gt, c0, N, P
+
+
+def test_global_positioning_recovers_from_bent_seed():
+    from sfm_tpu.pipeline.global_pose import global_positioning
+
+    oc, op, v, c_gt, c0, N, P = _positioning_problem()
+    assert _center_rmse_after_sim3(c0, c_gt) > 0.5      # seed is badly bent
+    c, X, sc, sp = global_positioning(oc, op, v, N, P, np.ones(N, bool),
+                                      centers0=c0)
+    assert sc.all()
+    # 0.3deg ray noise -> well under 1% of the 4.0 orbit radius.
+    assert _center_rmse_after_sim3(c[sc], c_gt[sc]) < 0.04
+
+
+def test_global_positioning_robust_to_gross_rays():
+    from sfm_tpu.pipeline.global_pose import global_positioning
+
+    oc, op, v, c_gt, c0, N, P = _positioning_problem(gross_frac=0.08)
+    c, X, sc, sp = global_positioning(oc, op, v, N, P, np.ones(N, bool),
+                                      centers0=c0, rounds=6)
+    assert _center_rmse_after_sim3(c[sc], c_gt[sc]) < 0.08
+
+
+def test_global_positioning_drops_underconstrained_points():
+    from sfm_tpu.pipeline.global_pose import global_positioning
+
+    # Point 1 has a single observation -> cannot be positioned.
+    oc = np.array([0, 1, 2, 0, 1, 2, 0])
+    op = np.array([0, 0, 0, 2, 2, 2, 1])
+    c_gt = np.array([[0., 0, 0], [1, 0, 0], [2, 0, 0]])
+    X_gt = np.array([[0.5, 0, 3], [9, 9, 9], [1.5, 0, 4]])
+    v = X_gt[op] - c_gt[oc]
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    c, X, sc, sp = global_positioning(oc, op, v, 3, 3, np.ones(3, bool),
+                                      centers0=c_gt)
+    assert sc.all()
+    assert sp[0] and sp[2] and not sp[1]
