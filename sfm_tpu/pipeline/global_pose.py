@@ -797,23 +797,83 @@ def reposition_reconstruction(rec, rounds: int = 4,
 # ---------------------------------------------------------------------------
 
 
-def pose_graph_poses(graph, num_images: int,
-                     min_inliers: int = 0) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def refine_graph_poses(graph, feats_xy: np.ndarray, intrinsics: np.ndarray,
+                       edge_mask: np.ndarray, chunk: int = 4096,
+                       iters: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Re-estimate the masked edges' relative poses by batched two-view
+    reprojection refinement (ops.relpose) on device. Returns refined
+    (rel_rvecs [E, 3], rel_tvecs [E, 3]) for the FULL edge array with
+    unmasked rows passed through unchanged.
+
+    Edges are dispatched in fixed-size chunks (one compile) with the tail
+    padded — at Rome16K-scale graphs (~50k pose edges) the [chunk, K]
+    correspondence batches stay ~16 MB and the whole pass is a few device
+    programs.
+    """
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops.relpose import (gather_edge_correspondences,
+                                     refine_relative_poses)
+
+    rel_r = np.asarray(graph.rvec, np.float32).copy()
+    rel_t = np.asarray(graph.tvec, np.float32).copy()
+    ids = np.where(edge_mask)[0]
+    if len(ids) == 0:
+        return rel_r, rel_t
+    # Huber in normalized units: ~2 px at the median focal.
+    med_f = float(np.median(intrinsics[:, 0])) or 1.0
+    for s in range(0, len(ids), chunk):
+        sub = ids[s:s + chunk]
+        x1, x2, mask = gather_edge_correspondences(
+            graph, feats_xy, intrinsics, sub)
+        pad = chunk - len(sub)
+        if pad:
+            x1 = np.concatenate([x1, np.zeros((pad, *x1.shape[1:]), x1.dtype)])
+            x2 = np.concatenate([x2, np.zeros((pad, *x2.shape[1:]), x2.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), bool)])
+        r0 = np.concatenate([rel_r[sub], np.zeros((pad, 3), np.float32)])
+        t0 = np.concatenate([rel_t[sub], np.tile(np.array([0, 0, 1], np.float32), (pad, 1))])
+        rv, tv, _ = refine_relative_poses(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(mask),
+            jnp.asarray(r0), jnp.asarray(t0),
+            huber=2.0 / med_f, iters=iters)
+        rel_r[sub] = np.asarray(rv)[:len(sub)]
+        rel_t[sub] = np.asarray(tv)[:len(sub)]
+    return rel_r, rel_t
+
+
+def pose_graph_poses(graph, num_images: int, min_inliers: int = 0,
+                     feats=None, intrinsics=None,
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Global world->camera poses from a verified MatchGraph alone.
 
     Uses edges with ok & pose_ok (correspondence-only edges carry no usable
     relative pose — stages.MatchGraph.pose_ok). Returns (rvecs [N, 3],
     tvecs [N, 3], valid [N]); the gauge (global rotation, translation,
     scale) is arbitrary.
+
+    When `feats` (FeatureSet or raw xy array) and `intrinsics` are given,
+    every pose edge is first re-refined by two-view reprojection GN
+    (ops.relpose): the RANSAC poses minimize epipolar error, whose optimum
+    is measurably offset from the reprojection optimum on short-baseline
+    edges (0.33 -> 0.18 deg median edge rotation error on the 512-orbit
+    ladder graph) — averaging integrates that noise around the graph.
     """
     use = np.asarray(graph.ok).copy()
     if graph.pose_ok is not None:
         use &= np.asarray(graph.pose_ok)
     if min_inliers:
         use &= np.asarray(graph.num_inliers) >= min_inliers
+    if feats is not None and intrinsics is not None:
+        feats_xy = feats if isinstance(feats, np.ndarray) else feats.xy
+        all_r, all_t = refine_graph_poses(
+            graph, feats_xy, np.asarray(intrinsics, np.float32), use)
+        rel_r = all_r[use]
+        rel_t = all_t[use]
+    else:
+        rel_r = np.asarray(graph.rvec)[use]
+        rel_t = np.asarray(graph.tvec)[use]
     pairs = np.asarray(graph.pairs)[use]
-    rel_r = np.asarray(graph.rvec)[use]
-    rel_t = np.asarray(graph.tvec)[use]
     wts = np.asarray(graph.num_inliers)[use].astype(np.float64)
 
     R, valid, res_rad = rotation_averaging(pairs, rel_r, num_images,
