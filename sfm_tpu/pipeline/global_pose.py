@@ -516,13 +516,21 @@ def global_positioning(
     one shared 3D point — benchmarks/global_diag.py measures the delta.
     Pairwise averaging remains as the SEED for this solve.
 
-    Structure: identical to translation_averaging's (the true configuration
-    spans the deflated nullspace of a projected graph Laplacian, here over
-    the camera-point bipartite graph), so the solver is the same inverse
-    iteration with translation deflation — but at 3(N+P) unknowns a direct
-    factorization would fill in across the bipartite coupling, so each
-    solve is block-Jacobi-preconditioned CG with IMPLICIT matvecs (never
-    materializing [E, 3, 3] blocks: M_e x = w_e (x - v (v.x))).
+    Solver: seed-anchored alternating least squares (the BATA/LUD family,
+    GLOMAP's global-positioning shape) rather than a deflated eigen-solve.
+    Each IRLS round freezes per-observation depth targets
+    d_ip = max(v_ip . (X_p - c_i), floor) and solves the LINEAR problem
+
+        min_{c, X}  sum_obs  alpha_ip || (X_p - c_i) - d_ip v_ip ||^2
+
+    (alpha = w / d^2) — a scalar-weighted bipartite graph Laplacian, three
+    independent coordinates, Jacobi-preconditioned CG whose RHS is exactly
+    orthogonal to the translation nullspace. An earlier inverse-iteration
+    eigen formulation found the smallest eigenvector REGARDLESS of the
+    seed; with contaminated tracks (a few percent of glued fragments) that
+    vector is a collapse mode, measured at full-radius RMSE on the guided
+    512-orbit graph, while the anchored solve stays on the seed's branch
+    and the annealed Huber-on-angle IRLS strips the glue.
 
     Host numpy by design (SURVEY.md §7: pose-graph solves are host
     bookkeeping); ~200k observations solve in seconds, and the matvec is
@@ -584,76 +592,79 @@ def global_positioning(
             b[:, :, None])[:, :, 0]
         X[bad] = Xmid[bad]
 
-    def _deflate(cc, xx):
-        m = (cc.sum(0) + xx.sum(0)) / (nc + npt)
-        cc, xx = cc - m, xx - m
-        nrm = np.sqrt((cc * cc).sum() + (xx * xx).sum())
-        return cc / max(nrm, 1e-300), xx / max(nrm, 1e-300)
+    def _bincount3(idx, vals, n):
+        return np.stack([np.bincount(idx, weights=vals[:, k], minlength=n)
+                         for k in range(3)], axis=1)
 
-    th_scale = np.radians(theta_huber_start_deg)
-    th_floor = np.radians(theta_huber_floor_deg)
-    best = None
-    best_med = np.inf
-    for rnd in range(rounds):
-        if rnd == 0:
-            # Round 0 is near-UNWEIGHTED least squares: the projectors
-            # I - vv^T are pure data, so the deflated near-null mode is the
-            # global shape regardless of how wrong the seed is. Fine-scale
-            # IRLS weights from seed geometry are poison at this stage — a
-            # 40%-bent seed grades most TRUE constraints as outliers, and
-            # the eigen problem reweighted that way has no shape mode left
-            # to find. The seed IS still good for one thing: a 60-degree
-            # reject gate. Even a badly bent seed puts true rays within a
-            # few tens of degrees, while gross rays (wrong matches) are
-            # uniform — the wide gate halves the contamination without
-            # touching inliers, which is the difference between round 0
-            # landing at ~20% vs ~45% center RMSE under 8% gross rays.
-            w = np.ones(len(oc_l))
-            u = X[op_l] - c[oc_l]
-            dist = np.maximum(np.linalg.norm(u, axis=1), 1e-12)
-            depth = np.einsum("ei,ei->e", u, v)
-            th0 = np.arccos(np.clip(depth / dist, -1.0, 1.0))
-            w = np.where(th0 > np.radians(60.0), 0.0, w)
-        else:
-            u = X[op_l] - c[oc_l]
-            dist = np.maximum(np.linalg.norm(u, axis=1), 1e-12)
-            depth = np.einsum("ei,ei->e", u, v)
-            theta = np.arccos(np.clip(depth / dist, -1.0, 1.0))
-            med_th = float(np.median(theta))
-            if med_th < best_med:
-                best, best_med = (c.copy(), X.copy()), med_th
-            elif med_th > 1.5 * best_med and best is not None:
-                # IRLS wandered off the shape mode — keep the best iterate.
-                c, X = best
+    def _theta_depth(cc, xx):
+        u = xx[op_l] - cc[oc_l]
+        dist = np.maximum(np.linalg.norm(u, axis=1), 1e-12)
+        depth = np.einsum("ei,ei->e", u, v)
+        theta = np.arccos(np.clip(depth / dist, -1.0, 1.0))
+        return theta, depth
+
+    def _anchored_solve(w_r, depth, med_d):
+        """Seed-anchored linear solve: freeze per-observation depth targets
+        d = max(depth, floor) and solve min sum alpha ||(X-c) - d v||^2
+        (alpha = w/d^2) — a scalar-weighted bipartite Laplacian, Jacobi-PCG,
+        warm-started from the current iterate so the solution stays on the
+        seed's branch."""
+        d_t = np.maximum(depth, 0.05 * max(med_d, 1e-12))
+        alpha = w_r / (d_t * d_t)
+        deg_c = np.bincount(oc_l, weights=alpha, minlength=nc)
+        deg_p = np.bincount(op_l, weights=alpha, minlength=npt)
+        shift = 1e-9 * max(float(alpha.sum()) / (nc + npt), 1e-300)
+        inv_dc = 1.0 / np.maximum(deg_c + shift, 1e-300)
+        inv_dp = 1.0 / np.maximum(deg_p + shift, 1e-300)
+
+        target = alpha[:, None] * d_t[:, None] * v      # [O, 3]
+        b_c = -_bincount3(oc_l, target, nc)
+        b_x = _bincount3(op_l, target, npt)
+
+        def Hx(cc, xx):
+            out_c = (deg_c[:, None] * cc
+                     - _bincount3(oc_l, xx[op_l] * alpha[:, None], nc)
+                     + shift * cc)
+            out_x = (deg_p[:, None] * xx
+                     - _bincount3(op_l, cc[oc_l] * alpha[:, None], npt)
+                     + shift * xx)
+            return out_c, out_x
+
+        yc, yx = c.copy(), X.copy()
+        rc_, rx_ = Hx(yc, yx)
+        rc_, rx_ = b_c - rc_, b_x - rx_
+        zc, zx = inv_dc[:, None] * rc_, inv_dp[:, None] * rx_
+        pc_, px_ = zc.copy(), zx.copy()
+        rz = (rc_ * zc).sum() + (rx_ * zx).sum()
+        b2 = (b_c * b_c).sum() + (b_x * b_x).sum()
+        for _ in range(cg_iters):
+            qc, qx = Hx(pc_, px_)
+            denom = (pc_ * qc).sum() + (px_ * qx).sum()
+            if denom <= 0:
                 break
-            scale = max(th_scale, 2.0 * med_th)
-            w_r = np.where(theta <= scale, 1.0,
-                           scale / np.maximum(theta, 1e-12))
-            # Gross rays are REJECTED, not Huber-tapered: a 1/theta taper
-            # leaves ~0.2 weight on 45-degree outliers, and measured on the
-            # 3%-gross synthetic orbit that residue dragged the solve from
-            # 20% (post-round-0) to 36% RMSE instead of down to <1%. The
-            # trim threshold tracks the solution's own residual level
-            # (seed-free), so each round kills the tail the previous round
-            # could still explain away.
-            w_r = np.where(theta > max(4.0 * med_th, scale), 0.0, w_r)
-            # Behind-camera observations are gross (wrong track fusions /
-            # flipped geometry), not noise: hard-zero.
-            w_r = np.where(depth <= 0, 0.0, w_r)
-            pos = depth > 0
-            med_d = np.median(depth[pos]) if pos.any() else 1.0
-            # Angular normalization, clamped: near-camera observations must
-            # not dominate the quadratic form.
-            dn = np.maximum(np.abs(depth), 0.3 * max(med_d, 1e-12))
-            w = w_r / (dn * dn)
-            if verbose:
-                print(f"[sfm_tpu]   positioning round {rnd}: "
-                      f"theta med={np.degrees(med_th):.2f}deg "
-                      f"scale={np.degrees(scale):.2f}deg "
-                      f"behind={int((depth <= 0).sum())}")
+            a_ = rz / denom
+            yc += a_ * pc_
+            yx += a_ * px_
+            rc_ -= a_ * qc
+            rx_ -= a_ * qx
+            r2 = (rc_ * rc_).sum() + (rx_ * rx_).sum()
+            if r2 <= 1e-14 * max(b2, 1e-300):
+                break
+            zc = inv_dc[:, None] * rc_
+            zx = inv_dp[:, None] * rx_
+            rz_new = (rc_ * zc).sum() + (rx_ * zx).sum()
+            beta = rz_new / max(rz, 1e-300)
+            pc_ = zc + beta * pc_
+            px_ = zx + beta * px_
+            rz = rz_new
+        return yc, yx
 
-        # Block-Jacobi preconditioner: per-row sum of M_e = w (I - v v^T),
-        # shifted. sigma also serves as the inverse-iteration shift.
+    def _eigen_solve(w, med_d):
+        """Deflated inverse iteration on the projector quadratic form
+        sum w ||(I - vv^T)(X - c)||^2: the near-null mode IS the global
+        shape when the tracks are clean — it can unbend an arbitrarily bad
+        seed, which the anchored solve cannot. Gauge-fixed to majority-
+        positive depth at the current iterate's depth scale."""
         Mdiag_c = np.zeros((nc, 3, 3))
         Mdiag_p = np.zeros((npt, 3, 3))
         Mfull = w[:, None, None] * (np.eye(3)[None]
@@ -666,6 +677,12 @@ def global_positioning(
         eye = sigma * np.eye(3)
         Pc = np.linalg.inv(Mdiag_c + eye[None])
         Pp = np.linalg.inv(Mdiag_p + eye[None])
+
+        def _deflate(cc, xx):
+            m = (cc.sum(0) + xx.sum(0)) / (nc + npt)
+            cc, xx = cc - m, xx - m
+            nrm = np.sqrt((cc * cc).sum() + (xx * xx).sum())
+            return cc / max(nrm, 1e-300), xx / max(nrm, 1e-300)
 
         def Hx(cc, xx):
             uu = cc[oc_l] - xx[op_l]
@@ -687,11 +704,11 @@ def global_positioning(
             b2 = (bc * bc).sum() + (bx * bx).sum()
             for _ in range(cg_iters):
                 qc, qx = Hx(pc_, px_)
-                alpha = rz / max((pc_ * qc).sum() + (px_ * qx).sum(), 1e-300)
-                yc += alpha * pc_
-                yx += alpha * px_
-                rc -= alpha * qc
-                rx -= alpha * qx
+                a_ = rz / max((pc_ * qc).sum() + (px_ * qx).sum(), 1e-300)
+                yc += a_ * pc_
+                yx += a_ * px_
+                rc -= a_ * qc
+                rx -= a_ * qx
                 r2 = (rc * rc).sum() + (rx * rx).sum()
                 if r2 <= 1e-10 * b2:
                     break
@@ -706,18 +723,75 @@ def global_positioning(
         cc, xx = _deflate(c, X)
         for _ in range(inv_iters):
             cc, xx = _deflate(*pcg(cc, xx))
-        c, X = cc, xx
-
-        # Gauge: majority-positive depth, median depth 1.
-        depth = np.einsum("ei,ei->e", X[op_l] - c[oc_l], v)
+        depth = np.einsum("ei,ei->e", xx[op_l] - cc[oc_l], v)
         if np.median(depth) < 0:
-            c, X, depth = -c, -X, -depth
+            cc, xx, depth = -cc, -xx, -depth
         s = np.median(depth[depth > 0]) if (depth > 0).any() else 1.0
-        c, X = c / max(s, 1e-300), X / max(s, 1e-300)
+        s = max(med_d, 1e-12) / max(s, 1e-300)
+        return cc * s, xx * s
+
+    # Hybrid IRLS: each round solves BOTH candidates and keeps whichever
+    # has the lower median angular residual. The eigen mode wins on clean
+    # graphs with a bent seed (it finds the shape regardless of the seed);
+    # the anchored mode wins under track contamination, where the eigen
+    # near-null vector is a collapse mode (measured at full-radius RMSE on
+    # the guided 512-orbit graph). Median theta separates the two cleanly:
+    # a collapse cannot explain the clean majority of rays.
+    th_scale = np.radians(theta_huber_start_deg)
+    th_floor = np.radians(theta_huber_floor_deg)
+    best = None
+    best_med = np.inf
+    for rnd in range(rounds):
+        theta, depth = _theta_depth(c, X)
+        med_all = float(np.median(theta))
+        if med_all < best_med:
+            best_med = med_all
+            best = (c.copy(), X.copy())
+        if rnd == 0:
+            # Round 0: wide gate only. Even a badly bent seed puts true
+            # rays within a few tens of degrees, while gross rays (wrong
+            # matches / glued fragments) are near-uniform — the 60-degree
+            # gate halves contamination without touching inliers. Fine
+            # IRLS weights from seed geometry would grade TRUE constraints
+            # as outliers at a 40%-bent seed.
+            w_r = (theta <= np.radians(60.0)).astype(np.float64)
+        else:
+            med_th = np.median(theta[theta < np.radians(60.0)]) if (
+                theta < np.radians(60.0)).any() else th_scale
+            scale = max(th_scale, 1.2 * med_th)
+            w_r = np.where(theta <= scale, 1.0,
+                           scale / np.maximum(theta, 1e-12))
+            # Trim threshold tracks the solution's own residual level so
+            # each round kills the tail the previous round could still
+            # explain away; behind-camera rays are gross, not noise.
+            w_r = np.where(theta > max(4.0 * med_th, scale), 0.0, w_r)
+            w_r = np.where(depth <= 0, 0.0, w_r)
+        pos = depth > 0
+        med_d = np.median(depth[pos]) if pos.any() else 1.0
+
+        cA, XA = _anchored_solve(w_r, depth, med_d)
+        # Angular normalization for the projector form, clamped so
+        # near-camera observations don't dominate the quadratic.
+        dn = np.maximum(np.abs(depth), 0.3 * max(med_d, 1e-12))
+        cB, XB = _eigen_solve(w_r / (dn * dn), med_d)
+        thA, _ = _theta_depth(cA, XA)
+        thB, _ = _theta_depth(cB, XB)
+        mA, mB = float(np.median(thA)), float(np.median(thB))
+        if mB < mA:
+            c, X = cB, XB
+        else:
+            c, X = cA, XA
+        if verbose:
+            print(f"[sfm_tpu]   positioning round {rnd}: "
+                  f"theta med={np.degrees(med_all):.2f}deg "
+                  f"anchored={np.degrees(mA):.2f}deg "
+                  f"eigen={np.degrees(mB):.2f}deg "
+                  f"-> {'eigen' if mB < mA else 'anchored'} "
+                  f"cut={int((w_r == 0).sum())} behind={int((depth <= 0).sum())}")
         th_scale = max(th_scale * 0.5, th_floor)
 
-    # Keep the best iterate by median angular residual (the final IRLS
-    # round has no post-check inside the loop).
+    # Keep the best iterate by median angular residual (the final round
+    # has no post-check inside the loop).
     u = X[op_l] - c[oc_l]
     dist = np.maximum(np.linalg.norm(u, axis=1), 1e-12)
     theta = np.arccos(np.clip(np.einsum("ei,ei->e", u, v) / dist, -1.0, 1.0))
@@ -941,11 +1015,20 @@ def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False) -> bo
     return True
 
 
-def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16) -> int:
+def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16,
+                                 max_error_px: float | None = None,
+                                 min_angle_deg: float | None = None) -> int:
     """Re-DLT every valid point from its observations at the CURRENT poses
     (in place; device-batched). Tracks longer than max_views use an evenly
     strided view subset — DLT conditioning saturates long before that.
     Returns the number of points that re-triangulated validly.
+
+    max_error_px loosens the triangulation acceptance gate (it is a MAX
+    over the track's views): graduated polish schedules retriangulate at
+    rough poses where long tracks legitimately carry tens of px of max
+    error — the default ~3 px gate would reject exactly the long tracks
+    whose consolidation the polish depends on (measured on the 512-orbit
+    oracle-track study: 600 full-ring tracks -> 1 surviving without this).
     """
     import jax.numpy as jnp
 
@@ -953,7 +1036,8 @@ def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16) -> int:
 
     if rec.obs_point is None or not rec.num_points:
         return 0
-    min_angle = 1.5 if cfg is None else cfg.engine.min_triangulation_angle_deg
+    min_angle = min_angle_deg if min_angle_deg is not None else (
+        1.5 if cfg is None else cfg.engine.min_triangulation_angle_deg)
     order = np.argsort(rec.obs_point, kind="stable")
     op = rec.obs_point[order]
     starts = np.searchsorted(op, np.arange(len(rec.points)), side="left")
@@ -990,10 +1074,12 @@ def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16) -> int:
             x = xy / (1.0 + k1 * r2 + k2 * r2 * r2)[..., None]
         xy = x
 
+    err_norm = (0.01 if max_error_px is None
+                else max_error_px / max(float(np.median(rec.intrinsics[:, 0])), 1e-6))
     tri = triangulate_tracks(
         jnp.asarray(rec.rvecs[img]), jnp.asarray(rec.tvecs[img]),
         jnp.asarray(xy.astype(np.float32)), jnp.asarray(mask),
-        min_angle_deg=float(min_angle),
+        min_angle_deg=float(min_angle), max_error_norm=float(err_norm),
     )
     pts = np.asarray(tri.points)[:len(pids)]
     ok = np.asarray(tri.valid)[:len(pids)]
