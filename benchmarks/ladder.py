@@ -31,8 +31,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 384
     pair_mode = sys.argv[3] if len(sys.argv) > 3 else "exhaustive"
-    partition = len(sys.argv) > 4 and sys.argv[4] == "partition"
-    engine_mode = "global" if (len(sys.argv) > 4 and sys.argv[4] == "global") \
+    mode_arg = sys.argv[4] if len(sys.argv) > 4 else ""
+    partition = mode_arg in ("partition", "global_partition")
+    engine_mode = "global" if mode_arg in ("global", "global_partition") \
         else "incremental"
 
     import jax.numpy as jnp

@@ -844,6 +844,8 @@ def reposition_reconstruction(rec, rounds: int = 4,
     cen0 = -np.einsum("nji,nj->ni", R_all, rec.tvecs.astype(np.float64))
     live = rec.point_valid[rec.obs_point]
     oc, op, rays = rec.obs_image[live], rec.obs_point[live], rays[live]
+    med_before = float(np.median(rec.reprojection_errors()))
+    tvecs0, points0 = rec.tvecs.copy(), rec.points.copy()
     c, X, sc, sp = global_positioning(
         oc, op, rays, len(rec.registered), len(rec.points),
         rec.registered, centers0=cen0, rounds=rounds, verbose=verbose)
@@ -859,10 +861,24 @@ def reposition_reconstruction(rec, rounds: int = 4,
     fuse_pt = sp & rec.point_valid
     rec.points[fuse_pt] = (s * X[fuse_pt] @ Rw.T
                            + np.asarray(t)).astype(np.float32)
+    # Revert-on-worse: on fragmented track graphs the ray objective is
+    # nearly flat along low-frequency bends, so the solve can "improve"
+    # median ray angle while moving the model AWAY from the data in pixel
+    # terms (measured on the 512-orbit v1-track graph: median reproj 2.1 ->
+    # 9.8 px while theta improved). Pixel reprojection against the actual
+    # observations is the honest acceptance test.
+    med_after = float(np.median(rec.reprojection_errors()))
+    if not np.isfinite(med_after) or med_after > max(1.25 * med_before, 0.5):
+        rec.tvecs[:], rec.points[:] = tvecs0, points0
+        if verbose:
+            print(f"[sfm_tpu]   repositioning REVERTED: median reproj "
+                  f"{med_before:.2f} -> {med_after:.2f} px")
+        return False
     if verbose:
         moved = float(np.mean(np.linalg.norm(c_new - cen0[both], axis=1)))
         print(f"[sfm_tpu]   repositioning: {int(both.sum())} cameras, "
-              f"{int(fuse_pt.sum())} points, mean center move {moved:.3f}")
+              f"{int(fuse_pt.sum())} points, mean center move {moved:.3f} "
+              f"(median reproj {med_before:.2f} -> {med_after:.2f} px)")
     return True
 
 

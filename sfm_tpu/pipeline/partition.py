@@ -136,7 +136,18 @@ def partitioned_reconstruct(
         if not sub.ok.any():
             return None
         try:
-            rec = incremental_reconstruct(feats, sub, intrinsics, cfg)
+            if cfg.engine_mode == "global":
+                # Per-cluster global SfM (the reference-lineage shape:
+                # divide-and-conquer with averaging-based solves inside each
+                # cluster). At cluster size the pose graph's diameter is a
+                # few hops, where rotation/position averaging is accurate;
+                # the cross-cluster merge + polish path below is shared with
+                # the incremental mode.
+                from sfm_tpu.pipeline.global_engine import global_reconstruct
+
+                rec = global_reconstruct(feats, sub, intrinsics, cfg)
+            else:
+                rec = incremental_reconstruct(feats, sub, intrinsics, cfg)
         except RuntimeError as e:
             if cfg.verbose:
                 print(f"[sfm_tpu] cluster {ci} failed: {e}")

@@ -133,15 +133,19 @@ def run_pipeline(images: Sequence, cfg: PipelineConfig) -> Reconstruction:
             from sfm_tpu.pipeline.two_view import bootstrap_two_view
 
             rec = bootstrap_two_view(feats, graph, int(ok_edges[0]), intrinsics, cfg)
-    elif cfg.engine_mode == "global":
+    elif cfg.engine_mode == "global" and not cfg.partition.enabled:
         with timer.stage("global_sfm"):
             from sfm_tpu.pipeline.global_engine import global_reconstruct
 
             rec = global_reconstruct(feats, graph, intrinsics, cfg)
-    elif cfg.engine_mode != "incremental":
+    elif cfg.engine_mode not in ("incremental", "global"):
         raise ValueError(f"unknown engine_mode: {cfg.engine_mode}")
     else:
-        with timer.stage("incremental"):
+        # Partition mode hosts BOTH engines: each cluster reconstructs with
+        # cfg.engine_mode (incremental PnP march or per-cluster global SfM),
+        # then the shared merge + consolidation + polish phases run.
+        with timer.stage(
+                "incremental" if cfg.engine_mode == "incremental" else "global_sfm"):
             if cfg.partition.enabled:
                 from sfm_tpu.pipeline.partition import partitioned_reconstruct
 

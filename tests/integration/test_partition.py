@@ -128,3 +128,33 @@ def test_merged_prepolish_checkpoint_and_resume(ring24, tmp_path):
         partition_mod.partition_images = orig
     assert rec2.num_registered >= rec1.num_registered - 1
     assert rec2.mean_reprojection_error() < 0.8
+
+
+def test_partitioned_global_engine_matches_gt(ring24):
+    """engine_mode="global" inside partition mode: every cluster solves by
+    pose averaging + positioning + polish (global_engine.global_reconstruct),
+    then the shared merge/consolidation/polish runs. Quality bar matches the
+    incremental-engine partition test."""
+    scene, feats, graph = ring24
+    cfg = PipelineConfig(
+        engine=EngineConfig(local_ba_window=5, global_ba_every=6),
+        ransac=RansacConfig(num_hypotheses=512),
+        ba=BAConfig(max_iterations=20),
+        partition=PartitionConfig(enabled=True, target_cluster_size=10, overlap_cameras=4),
+        engine_mode="global",
+        verbose=False,
+    )
+    rec = partitioned_reconstruct(feats, graph, scene.intrinsics.copy(), cfg)
+    assert rec.num_registered >= 22
+    assert rec.mean_reprojection_error() < 0.8
+
+    reg = np.where(rec.registered)[0]
+    est = np.stack([
+        np.asarray(camera_center(jnp.asarray(rec.rvecs[i]), jnp.asarray(rec.tvecs[i]))) for i in reg
+    ])
+    gt = np.stack([
+        np.asarray(camera_center(jnp.asarray(scene.rvecs[i]), jnp.asarray(scene.tvecs[i]))) for i in reg
+    ])
+    s, R, t = umeyama(jnp.asarray(est), jnp.asarray(gt))
+    rmse = np.sqrt(((np.asarray(apply_sim3(s, R, t, jnp.asarray(est))) - gt) ** 2).sum(-1).mean())
+    assert rmse < 0.08, rmse
