@@ -57,7 +57,8 @@ def global_reconstruct(
     B = len(intrinsics)
     max_kp = feats.xy.shape[1]
 
-    rvecs, tvecs, valid = pose_graph_poses(graph, B)
+    rvecs, tvecs, valid = pose_graph_poses(graph, B, feats=feats,
+                                           intrinsics=intrinsics)
     if int(valid.sum()) < 3:
         raise RuntimeError(
             "global engine: pose graph has no usable component "

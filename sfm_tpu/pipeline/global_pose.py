@@ -476,6 +476,235 @@ def translation_averaging(
     return centers, solved
 
 
+def _two_view_depths(rel_r: np.ndarray, rel_t: np.ndarray,
+                     xn_i: np.ndarray, xn_j: np.ndarray,
+                     mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched two-view depths at unit baseline.
+
+    rel_r/rel_t [E, 3] (cam_i -> cam_j, |t| = 1 from essential decomposition),
+    xn_* [E, M, 2] normalized camera coords of the edge's correspondences,
+    mask [E, M]. For each correspondence solve the 2x2 least squares
+    min || d_i (R x_i) - d_j x_j + t ||^2 over ray depths (d_i, d_j).
+    Returns (d_i, d_j, ok [E, M]); ok requires cheirality (both depths
+    positive) and non-degenerate parallax (the 2x2 determinant, which IS
+    sin^2 of the ray angle for unit rays).
+    """
+    Rr = _so3_exp_np(rel_r.astype(np.float64))
+    xi = np.concatenate([xn_i, np.ones_like(xn_i[..., :1])], -1)
+    xi = xi / np.maximum(np.linalg.norm(xi, axis=-1, keepdims=True), 1e-12)
+    xj = np.concatenate([xn_j, np.ones_like(xn_j[..., :1])], -1)
+    xj = xj / np.maximum(np.linalg.norm(xj, axis=-1, keepdims=True), 1e-12)
+    a = np.einsum("eij,emj->emi", Rr, xi)               # rays of i in j's frame
+    t = rel_t[:, None, :].astype(np.float64)
+    ab = np.einsum("emi,emi->em", a, xj)
+    at = np.einsum("emi,ei->em", a, rel_t.astype(np.float64))
+    bt = np.einsum("emi,ei->em", xj, rel_t.astype(np.float64))
+    det = 1.0 - ab * ab                                 # = sin^2(ray angle)
+    safe = np.maximum(det, 1e-12)
+    d_i = (ab * bt - at) / safe
+    d_j = (bt - ab * at) / safe
+    ok = mask & (det > 3e-6) & (d_i > 1e-6) & (d_j > 1e-6)
+    return d_i, d_j, ok
+
+
+def edge_scale_centers(
+    pairs: np.ndarray,
+    directions: np.ndarray,
+    rel_r: np.ndarray,
+    rel_t: np.ndarray,
+    idx_i: np.ndarray,
+    idx_j: np.ndarray,
+    inlier: np.ndarray,
+    xn: np.ndarray,
+    num_images: int,
+    valid: np.ndarray,
+    weights: np.ndarray | None = None,
+    sync_iters: int = 200,
+    irls_rounds: int = 3,
+    cg_iters: int = 200,
+    verbose: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Camera centers from SCALED pairwise displacements.
+
+    The direction-only objective (translation_averaging) is degenerate for
+    collinear camera motion — all pairwise directions coincide, so spacing
+    along the line is free. That is exactly the per-cluster regime of the
+    divide-and-conquer pipeline (a 48-image ladder arc measured 21% center
+    RMSE from the direction solve alone, benchmarks/cluster diag). The
+    missing constraint is per-edge BASELINE SCALE, and the data for it is
+    already in the match graph: each edge's two-view depths are expressed
+    at unit baseline, so two edges observing the same (image, keypoint)
+    satisfy  s_e1 * d_e1 = s_e2 * d_e2  — a linear system in log-scale.
+
+    Three stages, all host numpy (SURVEY.md §7: pose-graph solves are host
+    bookkeeping):
+      1. batched two-view depths per edge inlier (_two_view_depths);
+      2. log-scale sync: minimize sum over (image, kp) groups of
+         (ls_e + log d - mu_g)^2 by exact alternation (block coordinate
+         descent between edge scales ls and group log-depths mu), Huber
+         IRLS on the record residuals;
+      3. center solve: min sum_e w_e || (c_j - c_i) - s_e d_e ||^2 — an
+         ordinary (scalar-weighted) graph Laplacian with a well-defined
+         right-hand side; Jacobi-PCG + Huber IRLS on residual norms.
+
+    xn [N, K, 2]: normalized camera coords per image keypoint. Returns
+    (centers [N, 3], solved [N]) in the same contract as
+    translation_averaging (gauge: centered, median baseline ~ median s).
+    """
+    pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+    d_world = np.asarray(directions, np.float64)
+    keep = valid[pairs[:, 0]] & valid[pairs[:, 1]]
+    keep &= np.isfinite(d_world).all(axis=1)
+    if weights is not None:
+        keep &= np.asarray(weights, np.float64) > 0
+    eids = np.where(keep)[0]
+    centers = np.zeros((num_images, 3))
+    if len(eids) == 0:
+        return centers, np.zeros(num_images, bool)
+
+    E = len(eids)
+    pe = pairs[eids]
+    de = d_world[eids]
+    de = de / np.maximum(np.linalg.norm(de, axis=1, keepdims=True), 1e-12)
+
+    # --- stage 1: unit-baseline depths for every edge correspondence -----
+    ii = np.asarray(idx_i)[eids]
+    jj = np.asarray(idx_j)[eids]
+    ml = np.asarray(inlier)[eids]
+    xn_i = xn[pe[:, 0][:, None], ii]
+    xn_j = xn[pe[:, 1][:, None], jj]
+    d_i, d_j, ok = _two_view_depths(np.asarray(rel_r)[eids],
+                                    np.asarray(rel_t)[eids], xn_i, xn_j, ml)
+
+    # --- stage 2: log-scale sync over shared (image, keypoint) tracks ----
+    K = xn.shape[1]
+    e_rec, img_rec, kp_rec, logd = [], [], [], []
+    for side, (img_col, kp_arr, dd) in enumerate(
+            ((pe[:, 0], ii, d_i), (pe[:, 1], jj, d_j))):
+        em, mm = np.nonzero(ok)
+        e_rec.append(em)
+        img_rec.append(img_col[em])
+        kp_rec.append(kp_arr[em, mm])
+        logd.append(np.log(dd[em, mm]))
+    e_rec = np.concatenate(e_rec)
+    gkey = np.concatenate(img_rec).astype(np.int64) * K + np.concatenate(kp_rec)
+    logd = np.concatenate(logd)
+    fin = np.isfinite(logd)
+    e_rec, gkey, logd = e_rec[fin], gkey[fin], logd[fin]
+    # Keep only groups covering >= 2 DISTINCT edges (they carry constraints).
+    pairkey = gkey * np.int64(E + 1) + e_rec  # dedup same-(group, edge) repeats
+    order = np.argsort(pairkey, kind="stable")
+    e_rec, gkey, logd = e_rec[order], gkey[order], logd[order]
+    ug, gid = np.unique(gkey, return_inverse=True)
+    G = len(ug)
+    # distinct edges per group
+    first_of_pair = np.ones(len(e_rec), bool)
+    first_of_pair[1:] = pairkey[order][1:] != pairkey[order][:-1]
+    edges_per_group = np.bincount(gid[first_of_pair], minlength=G)
+    userec = edges_per_group[gid] >= 2
+    e_rec, gid_raw, logd = e_rec[userec], gkey[userec], logd[userec]
+    solved = _largest_component(pe, num_images) & valid
+    if len(e_rec) == 0:
+        if verbose:
+            print("[sfm_tpu]   edge-scale sync: no shared-track records, "
+                  "falling back to direction-only centers")
+        return translation_averaging(pe, de, num_images, valid,
+                                     weights=None if weights is None
+                                     else np.asarray(weights)[eids])
+    _, gid = np.unique(gid_raw, return_inverse=True)
+    G = int(gid.max()) + 1
+
+    ls = np.zeros(E)
+    w_rec = np.ones(len(e_rec))
+    nrec_g = np.bincount(gid, weights=None, minlength=G).astype(np.float64)
+    for it in range(sync_iters):
+        wg = np.bincount(gid, weights=w_rec, minlength=G)
+        mu = np.bincount(gid, weights=w_rec * (ls[e_rec] + logd),
+                         minlength=G) / np.maximum(wg, 1e-12)
+        target = mu[gid] - logd
+        we = np.bincount(e_rec, weights=w_rec, minlength=E)
+        ls_new = np.bincount(e_rec, weights=w_rec * target,
+                             minlength=E) / np.maximum(we, 1e-12)
+        moved = np.abs(ls_new - ls).max() if len(ls) else 0.0
+        ls = ls_new - np.median(ls_new[np.isfinite(ls_new)])  # gauge
+        if it % 10 == 9:
+            r = np.abs(ls[e_rec] + logd - mu[gid])
+            sc = max(1.4826 * np.median(r), 1e-3)
+            w_rec = np.where(r <= sc, 1.0, sc / np.maximum(r, 1e-12))
+        if moved < 1e-6 and it > 20:
+            break
+    s_e = np.exp(np.clip(ls, -20.0, 20.0))
+    # Edge confidence for the center solve: total record weight (edges with
+    # no shared-track coverage get a floor weight — their scale is the
+    # median guess and the IRLS below will trim them if inconsistent).
+    w_edge = np.bincount(e_rec, weights=w_rec, minlength=E)
+    w_edge = np.sqrt(w_edge) + 1e-2
+    if verbose:
+        cov = float((np.bincount(e_rec, minlength=E) > 0).mean())
+        print(f"[sfm_tpu]   edge-scale sync: {len(e_rec)} records, "
+              f"{G} shared tracks, edge coverage {cov:.2f}, "
+              f"scale spread {np.exp(np.percentile(ls, [5, 95]))}")
+
+    # --- stage 3: centers from scaled displacements -----------------------
+    ecomp = solved[pe[:, 0]] & solved[pe[:, 1]]
+    pe_c, de_c, s_c, w_c = pe[ecomp], de[ecomp], s_e[ecomp], w_edge[ecomp]
+    ids = np.where(solved)[0]
+    remap = -np.ones(num_images, np.int64)
+    remap[ids] = np.arange(len(ids))
+    pi, pj = remap[pe_c[:, 0]], remap[pe_c[:, 1]]
+    n = len(ids)
+    disp = s_c[:, None] * de_c                          # target c_j - c_i
+    c = np.zeros((n, 3))
+    w = w_c.copy()
+    for rnd in range(irls_rounds):
+        deg = np.bincount(pi, weights=w, minlength=n) \
+            + np.bincount(pj, weights=w, minlength=n)
+        shift = 1e-9 * max(w.sum() / max(n, 1), 1e-300)
+        inv_d = 1.0 / np.maximum(deg + shift, 1e-300)
+        b = np.zeros((n, 3))
+        wd = w[:, None] * disp
+        np.subtract.at(b, pi, wd)
+        np.add.at(b, pj, wd)
+
+        def Hx(x):
+            out = (deg + shift)[:, None] * x
+            xw_i = w[:, None] * x[pj]
+            xw_j = w[:, None] * x[pi]
+            np.subtract.at(out, pi, xw_i)
+            np.subtract.at(out, pj, xw_j)
+            return out
+
+        r = b - Hx(c)
+        z = inv_d[:, None] * r
+        p = z.copy()
+        rz = (r * z).sum()
+        b2 = (b * b).sum()
+        for _ in range(cg_iters):
+            q = Hx(p)
+            den = (p * q).sum()
+            if den <= 0:
+                break
+            a_ = rz / den
+            c += a_ * p
+            r -= a_ * q
+            if (r * r).sum() <= 1e-14 * max(b2, 1e-300):
+                break
+            z = inv_d[:, None] * r
+            rz_new = (r * z).sum()
+            p = z + (rz_new / max(rz, 1e-300)) * p
+            rz = rz_new
+        resid = np.linalg.norm((c[pj] - c[pi]) - disp, axis=1)
+        sc = max(1.4826 * np.median(resid), 1e-6)
+        w = w_c * np.where(resid <= sc, 1.0, sc / np.maximum(resid, 1e-12))
+        if verbose:
+            print(f"[sfm_tpu]   edge-scale centers round {rnd}: "
+                  f"median |resid| {np.median(resid):.4f} "
+                  f"(median baseline {np.median(s_c):.4f})")
+    c -= c.mean(axis=0)
+    centers[ids] = c
+    return centers, solved
+
+
 def global_positioning(
     obs_cam: np.ndarray,
     obs_point: np.ndarray,
@@ -978,14 +1207,36 @@ def pose_graph_poses(graph, num_images: int, min_inliers: int = 0,
     if len(res_rad):
         med = np.median(res_rad[np.isfinite(res_rad)]) if np.isfinite(res_rad).any() else 0.0
         t_wts[res_rad > max(3.0 * med, np.radians(10.0))] = 0.0
-    centers, solved = translation_averaging(pairs, d, num_images, valid,
-                                            weights=t_wts)
+    if feats is not None and intrinsics is not None:
+        # Scaled-displacement centers: per-edge baseline scales synced
+        # through shared-track two-view depths. Direction-only averaging is
+        # blind to spacing along collinear motion (arc clusters); the scale
+        # sync removes that degeneracy using data the graph already carries.
+        feats_xy = feats if isinstance(feats, np.ndarray) else feats.xy
+        intr = np.asarray(intrinsics, np.float64)
+        xn = (feats_xy - intr[:, None, 2:4]) / intr[:, None, 0:2]
+        k1 = intr[:, 4]
+        if np.any(k1) or np.any(intr[:, 5]):
+            x = xn.copy()
+            for _ in range(4):
+                r2 = np.sum(x * x, axis=-1)
+                x = xn / (1.0 + intr[:, None, 4] * r2
+                          + intr[:, None, 5] * r2 * r2)[..., None]
+            xn = x
+        centers, solved = edge_scale_centers(
+            pairs, d, rel_r, rel_t, np.asarray(graph.idx_i)[use],
+            np.asarray(graph.idx_j)[use], np.asarray(graph.inlier)[use],
+            xn, num_images, valid, weights=t_wts)
+    else:
+        centers, solved = translation_averaging(pairs, d, num_images, valid,
+                                                weights=t_wts)
     rvecs = _so3_log_np(R)
     tvecs = -np.einsum("nij,nj->ni", R, centers)
     return rvecs.astype(np.float32), tvecs.astype(np.float32), solved
 
 
-def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False) -> bool:
+def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False,
+                              feats=None) -> bool:
     """Replace a reconstruction's poses with sim3-aligned pose-graph poses
     and retriangulate its points (in place). Returns False (model untouched)
     when the pose graph doesn't cover enough of the model to align.
@@ -995,11 +1246,17 @@ def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False) -> bo
     cost is flat along slow bends, but rotation averaging over the (densified)
     match graph is globally stiff. The caller should follow with the usual
     BA -> filter -> BA polish; this function only moves poses + DLT points.
+
+    When `feats` is given, the pose-graph solve uses two-view-refined edge
+    poses and scale-synced displacement centers (edge_scale_centers) —
+    markedly stiffer along sequential-capture arcs.
     """
     from sfm_tpu.geometry.similarity import umeyama_np
 
     K = len(rec.registered)
-    rvecs_pg, tvecs_pg, valid = pose_graph_poses(graph, K)
+    rvecs_pg, tvecs_pg, valid = pose_graph_poses(
+        graph, K, feats=feats,
+        intrinsics=rec.intrinsics if feats is not None else None)
     both = valid & rec.registered
     if both.sum() < max(3, 0.5 * rec.registered.sum()):
         return False

@@ -258,7 +258,7 @@ def _polish_phase(
                 merged.points.copy(), merged.point_valid.copy())
         n_valid_before = int(merged.point_valid.sum())
         if straighten_reconstruction(merged, graph, cfg=cfg,
-                                     verbose=cfg.verbose):
+                                     verbose=cfg.verbose, feats=feats):
             if int(merged.point_valid.sum()) < 0.5 * n_valid_before:
                 (merged.rvecs, merged.tvecs,
                  merged.points, merged.point_valid) = snap

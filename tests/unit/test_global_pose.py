@@ -244,3 +244,48 @@ def test_global_positioning_drops_underconstrained_points():
                                       centers0=c_gt)
     assert sc.all()
     assert sp[0] and sp[2] and not sp[1]
+
+
+def test_edge_scale_centers_fixes_collinear_spacing():
+    """Cameras on a LINE with uneven spacing: direction-only averaging is
+    degenerate (every pairwise direction is the same vector, spacing free);
+    edge-scale sync recovers the spacing from shared-track two-view depths."""
+    from sfm_tpu.pipeline.global_pose import (edge_scale_centers,
+                                              _so3_log_np as _log)
+    from sfm_tpu.pipeline.stages import MatchGraph
+
+    rng = np.random.default_rng(3)
+    N, P = 16, 120
+    # uneven spacing along x, looking down +z at points near z ~ 4
+    xs = np.cumsum(rng.uniform(0.3, 1.7, N)); xs -= xs[0]
+    c_gt = np.stack([xs, np.zeros(N), np.zeros(N)], 1)
+    X = np.concatenate([rng.uniform(0, xs[-1], (P, 1)),
+                        rng.uniform(-1, 1, (P, 1)),
+                        rng.uniform(3, 5, (P, 1))], 1)
+    # identity rotations; keypoint k of every image = point k
+    pairs, rel_r, rel_t, d_world = [], [], [], []
+    M = P
+    idx = np.tile(np.arange(P, dtype=np.int32), (1, 1))
+    E_idx_i, E_idx_j, E_inl = [], [], []
+    xn = ((X[None, :, :2] - c_gt[:, None, :2])
+          / (X[None, :, 2:3] - c_gt[:, None, 2:3]))          # [N, P, 2]
+    for i in range(N):
+        for j in range(i + 1, min(i + 4, N)):
+            base = c_gt[j] - c_gt[i]
+            pairs.append((i, j))
+            rel_r.append(np.zeros(3))
+            rel_t.append(-base / np.linalg.norm(base))       # t = -R c_j + R c_i
+            d_world.append(base / np.linalg.norm(base))
+            E_idx_i.append(np.arange(P, dtype=np.int32))
+            E_idx_j.append(np.arange(P, dtype=np.int32))
+            E_inl.append(np.ones(P, bool))
+    pairs = np.asarray(pairs, np.int64)
+    c, solved = edge_scale_centers(
+        pairs, np.asarray(d_world), np.asarray(rel_r, np.float32),
+        np.asarray(rel_t, np.float32), np.stack(E_idx_i), np.stack(E_idx_j),
+        np.stack(E_inl), xn, N, np.ones(N, bool))
+    assert solved.sum() == N
+    # up-to-sim3: spacing RATIOS must match ground truth
+    got = c[:, 0] - c[0, 0]
+    got = got / got[-1] * xs[-1]
+    assert np.abs(got - xs).max() < 0.05 * xs[-1], got
