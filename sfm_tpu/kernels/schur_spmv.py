@@ -28,7 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TILE_OBS = 1024      # observation rows per grid step
-_MAX_CAMS = 2048      # VMEM budget: onehot tile [T, C] fp32 = 8MB at the cap
+_MAX_CAMS = 4096      # VMEM budget: onehot tile [T, C] bf16 = 2MB at the cap
+                      # (bf16 one-hots + _dot_split halved the footprint
+                      # that previously capped this at 2048)
 
 # Fused normal-equation kernel layout (see fused_ne_payloads):
 _PTS_ROWS = 4         # point xyz + pad (per LM iteration)
@@ -36,6 +38,32 @@ _STATIC_ROWS = 8      # uv(2) w(1) cam_free(1) pt_free(1) pad(3) (per solve)
 _CAMRED_COLS = 48     # vec(JcTJc)(36) -Jc^T r(6) pad(6)
 _W_COLS = 24          # vec(W = Jc^T Jp)(18) pad(6)
 _YP_COLS = 16         # sym(JpTJp)(6) -Jp^T r(3) pad(7)
+
+
+def _dot_split(x: jnp.ndarray, onehot: jnp.ndarray, dims, nterms: int = 3):
+    """x (fp32) contracted with a 0/1 indicator in bf16, multi-term split.
+
+    The session-global jax_default_matmul_precision=highest makes every
+    in-kernel fp32 dot_general a SIX-pass bf16 emulation on the MXU — and
+    these one-hot gather/scatter dots are the matvec's entire MXU cost
+    (measured 12 ms vs ~1 ms roofline at C=1024/O=2^20). The indicator is
+    EXACTLY representable in bf16, so splitting only x as
+    x = hi + mid + lo (bf16 each) gives fp32-grade results in 3 passes:
+    per-term rounding leaves a residual < 2^-24 |x| after three terms,
+    matching fp32 multiplication error, while the dot runs at native bf16
+    rate with fp32 accumulation.
+    """
+    oh = onehot.astype(jnp.bfloat16)
+    acc = None
+    rem = x
+    for _ in range(nterms):
+        hi = rem.astype(jnp.bfloat16)
+        part = jax.lax.dot_general(hi, oh, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+        acc = part if acc is None else acc + part
+        rem = rem - hi.astype(jnp.float32)
+    return acc
 
 
 def _rot_cols(wx, wy, wz, a, b):
@@ -185,21 +213,15 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
     C = acc_ref.shape[1]
     T = ids_ref.shape[1]
     ids = ids_ref[:]                                           # [1, T]
-    onehot_t = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.float32)
-    cams = jax.lax.dot_general(                                # [8, T]
-        camt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    intr = jax.lax.dot_general(                                # [8, T]
-        intrt_ref[:], onehot_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    onehot_t = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.bfloat16)
+    cams = _dot_split(camt_ref[:], onehot_t, (((1,), (0,)), ((), ())))     # [8, T]
+    intr = _dot_split(intrt_ref[:], onehot_t, (((1,), (0,)), ((), ())))    # [8, T]
     cam_rows, w_rows, yp_rows = _ne_tile_rows(
         robust_loss, robust_scale, cams, intr, pts_ref[:], static_ref[:]
     )
     like = cam_rows[0]
     payload_t = _pad_rows(cam_rows, _CAMRED_COLS, like)        # [48, T]
-    acc_ref[:] += jax.lax.dot_general(                         # [48, C]
-        payload_t, onehot_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    acc_ref[:] += _dot_split(payload_t, onehot_t, (((1,), (1,)), ((), ())))  # [48, C]
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
@@ -362,9 +384,7 @@ def _whw_kernel(ids_ref, w_ref, hinv_ref, out_ref, acc_ref):
     rows = [u[i][0] * W(j, 0) + u[i][1] * W(j, 1) + u[i][2] * W(j, 2)
             for i in range(6) for j in range(6)]
     payload_t = jnp.concatenate(rows, axis=0)        # [36, T]
-    acc_ref[:] += jax.lax.dot_general(
-        payload_t, onehot_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    acc_ref[:] += _dot_split(payload_t, onehot_t, (((1,), (1,)), ((), ())))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
@@ -454,13 +474,22 @@ def _cam_segsum_kernel(ids_ref, vals_ref, out_ref, acc_ref):
     ids = ids_ref[:]                                   # [T, 1] int32
     C = acc_ref.shape[0]
     onehot = (ids == jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], C), 1)).astype(
-        jnp.float32
+        jnp.bfloat16
     )                                                   # [T, C], registers only
-    acc_ref[:] += jax.lax.dot_general(
-        onehot, vals_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),     # contract over T
-        preferred_element_type=jnp.float32,
-    )
+    # 3-term bf16 split of `vals` against the exact 0/1 indicator — see
+    # _dot_split (here the indicator is the LEFT operand).
+    rem = vals_ref[:]
+    total = None
+    for _ in range(3):
+        hi = rem.astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            onehot, hi, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        total = part if total is None else total + part
+        rem = rem - hi.astype(jnp.float32)
+    acc_ref[:] += total
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
@@ -518,13 +547,19 @@ def matvec_tile(num_cameras: int, point_align: int) -> int:
     if point_align <= 0 or num_cameras > _MAX_CAMS:
         return 0
     T = max(512, point_align)
-    # Conservative Mosaic footprint: the [T,T] point indicator (iota + f32
-    # mask, held across two dots) dominates; T=1024 measured 19.3MB at C=128
-    # (hard 16MB scoped-vmem limit), T=512 fits through C=1024.
-    vmem = 16 * T * T + 12 * num_cameras * T + (1 << 20)
-    if vmem > 14 * (1 << 20):
-        return 0
-    return T
+    # Conservative Mosaic footprint: the [T,T] point indicator (iota + bf16
+    # mask, held across two dots) plus the [C,T] bf16 camera one-hot and the
+    # bf16 split temporaries; T=1024 measured 19.3MB at C=128 in the fp32
+    # era (hard 16MB scoped-vmem limit). The bf16 masks halve both leading
+    # terms; shrink T before giving up so C up to _MAX_CAMS stays in-kernel.
+    while T >= max(256, point_align):
+        vmem = 10 * T * T + 7 * num_cameras * T + (1 << 20)
+        if vmem <= 14 * (1 << 20):
+            return T
+        T //= 2
+        if point_align and T % point_align:
+            break
+    return 0
 
 
 def matvec_tile_big(point_align: int) -> int:
@@ -563,9 +598,8 @@ def _schur_coupling_kernel(ids_ref, lids_ref, w_ref, hinv_ref, v_ref, out_ref, a
     T = ids_ref.shape[1]
     C = acc_ref.shape[1]
     ids = ids_ref[:]
-    onehot_c = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.float32)
-    v_obs = jax.lax.dot_general(v_ref[:], onehot_c, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)        # [8, T]
+    onehot_c = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.bfloat16)
+    v_obs = _dot_split(v_ref[:], onehot_c, (((1,), (0,)), ((), ())))       # [8, T]
     w = w_ref[:]                                                           # [18, T]
 
     def W(i, k):
@@ -576,19 +610,16 @@ def _schur_coupling_kernel(ids_ref, lids_ref, w_ref, hinv_ref, v_ref, out_ref, a
 
     # Tile-local point indicator: P[q, o] = [local_point(o) == q].
     lids = lids_ref[:]
-    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.float32)
-    g_loc = jax.lax.dot_general(u, P_loc, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)        # segment sums
-    g_obs = jax.lax.dot_general(g_loc, P_loc, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)        # broadcast back
+    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.bfloat16)
+    g_loc = _dot_split(u, P_loc, (((1,), (1,)), ((), ())))                 # segment sums
+    g_obs = _dot_split(g_loc, P_loc, (((1,), (0,)), ((), ())))             # broadcast back
 
     hv = hinv_ref[:]                                                       # [9, T]
     h = [sum(hv[k * 3 + l:k * 3 + l + 1, :] * g_obs[l:l + 1, :] for l in range(3))
          for k in range(3)]
     y_rows = [sum(W(i, k) * h[k] for k in range(3)) for i in range(6)]
     y = jnp.concatenate(y_rows + [jnp.zeros((2, T), jnp.float32)], axis=0)  # [8, T]
-    acc_ref[:] += jax.lax.dot_general(y, onehot_c, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)   # [8, C]
+    acc_ref[:] += _dot_split(y, onehot_c, (((1,), (1,)), ((), ())))        # [8, C]
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
@@ -613,11 +644,9 @@ def _schur_coupling_kernel_big(lids_ref, w_ref, hinv_ref, vobs_ref, y_out_ref):
     u = jnp.concatenate(u_rows + [jnp.zeros((5, T), jnp.float32)], axis=0)  # [8, T]
 
     lids = lids_ref[:]
-    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.float32)
-    g_loc = jax.lax.dot_general(u, P_loc, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    g_obs = jax.lax.dot_general(g_loc, P_loc, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.bfloat16)
+    g_loc = _dot_split(u, P_loc, (((1,), (1,)), ((), ())))
+    g_obs = _dot_split(g_loc, P_loc, (((1,), (0,)), ((), ())))
 
     hv = hinv_ref[:]                                                       # [9, T]
     h = [sum(hv[k * 3 + l:k * 3 + l + 1, :] * g_obs[l:l + 1, :] for l in range(3))

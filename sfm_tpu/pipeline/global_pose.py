@@ -1265,13 +1265,26 @@ def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False,
     c_pg = -np.einsum("nji,nj->ni", Rpg, tvecs_pg[both])
     Rcur = _so3_exp_np(rec.rvecs[both])
     c_cur = -np.einsum("nji,nj->ni", Rcur, rec.tvecs[both])
-    s, Rw, t = umeyama_np(c_pg, c_cur)                 # rec_world ~ s Rw pg + t
-    # Trimmed refit: drop the worst 10% (pose-graph stragglers).
-    fit = s * c_pg @ np.asarray(Rw).T + np.asarray(t)
+    # ROBUST gauge alignment. The model being straightened is by assumption
+    # damaged — a merged model can contain cluster chunks at wildly wrong
+    # relative scale (a 512-run global-cluster merge measured sim3 chunk
+    # scales spanning 0.006..28), and a plain umeyama against it explodes
+    # (observed mean center move 1.5e7, followed by retriangulation
+    # collapse and revert). Normalize both models to unit median spread
+    # first (bounds the scale estimate), then umeyama, then a 50% trimmed
+    # refit so the gauge comes from the largest consistent chunk.
+    def _spread(c):
+        return max(float(np.median(np.linalg.norm(c - c.mean(0), axis=1))),
+                   1e-12)
+    sp_pg, sp_cur = _spread(c_pg), _spread(c_cur)
+    s, Rw, t = umeyama_np(c_pg / sp_pg, c_cur / sp_cur)
+    fit = (s * (c_pg / sp_pg) @ np.asarray(Rw).T + np.asarray(t)) * sp_cur
     err = np.linalg.norm(fit - c_cur, axis=1)
-    keep = err <= np.quantile(err, 0.9)
+    keep = err <= np.quantile(err, 0.5)
     if keep.sum() >= 3:
         s, Rw, t = umeyama_np(c_pg[keep], c_cur[keep])
+    else:
+        s, t = s * sp_cur / sp_pg, np.asarray(t) * sp_cur
     Rw = np.asarray(Rw)
 
     ids = np.where(both)[0]
@@ -1284,7 +1297,10 @@ def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False,
         moved = float(np.mean(np.linalg.norm(c_new - c_cur, axis=1)))
         print(f"[sfm_tpu]   pose-graph straighten: {int(both.sum())}/"
               f"{int(rec.registered.sum())} cameras, mean center move {moved:.3f}")
-    retriangulate_reconstruction(rec, cfg=cfg)
+    # Poses may have moved a long way; a tight re-DLT gate would reject the
+    # long tracks the following polish depends on.
+    retriangulate_reconstruction(rec, cfg=cfg, max_error_px=16.0,
+                                 min_angle_deg=0.5)
     return True
 
 

@@ -179,6 +179,26 @@ def partitioned_reconstruct(
     if not recs:
         raise RuntimeError("no cluster produced a reconstruction")
 
+    if cfg.engine_mode == "global" and len(recs) >= 4:
+        # Cluster-quality gate: a per-cluster global solve can land in a
+        # collapsed-but-self-consistent basin (low reprojection error, but
+        # the structure imploded). Its signature is a starved point table —
+        # on the 512-orbit ladder the three bad clusters measured 5-13
+        # points/camera vs 25-37 for their 17 healthy siblings (23-27% vs
+        # <=5% center error vs GT). Dropping them is safe: their images
+        # re-register through the post-merge PnP rescue against the merged
+        # model, exactly like incremental stragglers.
+        ppc = np.asarray([r.point_valid.sum() / max(r.num_registered, 1)
+                          for r in recs])
+        gate = 0.4 * float(np.median(ppc))
+        bad = ppc < gate
+        if bad.any() and (~bad).sum() >= max(2, len(recs) // 2):
+            if cfg.verbose:
+                print(f"[sfm_tpu] cluster gate: dropping {int(bad.sum())} "
+                      f"collapsed cluster(s) (pts/cam {ppc[bad].round(1)} "
+                      f"< {gate:.1f}); their images go to the rescue pass")
+            recs = [r for r, b in zip(recs, bad) if not b]
+
     merged = merge_reconstructions(recs, cfg)
 
     # Cross-cluster track consolidation (COLMAP merge-tracks analog): the

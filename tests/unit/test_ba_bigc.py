@@ -17,8 +17,8 @@ from sfm_tpu.kernels import schur_spmv
 INTERP = jax.default_backend() != "tpu"
 
 
-def make_big_problem(C=2176, O=8192, P=512, seed=0):
-    """Synthetic sorted-by-point problem just past _MAX_CAMS (2048)."""
+def make_big_problem(C=4224, O=8192, P=512, seed=0):
+    """Synthetic sorted-by-point problem just past _MAX_CAMS."""
     assert C > schur_spmv._MAX_CAMS
     rng = np.random.default_rng(seed)
     obs_point = np.sort(rng.integers(0, P, O)).astype(np.int32)
@@ -144,7 +144,7 @@ def test_big_coupling_matvec_matches_xla():
 def test_bundle_adjust_runs_past_max_cams():
     """Full LM at C > _MAX_CAMS on the current backend (XLA fallback path
     off-TPU, big kernels on-TPU): converging cost, no NaNs."""
-    prob = make_big_problem(C=2112, O=16384, P=1024, seed=7)
+    prob = make_big_problem(C=4224, O=16384, P=1024, seed=7)
     cfg = BAConfig(max_iterations=3, cg_iterations=8, dense_schur_max_cameras=0)
     out, stats = core.bundle_adjust(prob, cfg)
     assert np.isfinite(float(stats.final_cost))
@@ -175,7 +175,7 @@ def test_feature_major_branches_match_w_path():
     lane tiling is a 57x expansion, ~4GB at O=2^20) must reproduce the
     W-materialized path for S@v, the Schur rhs, back-substitution, and the
     WHW preconditioner payload."""
-    prob = make_big_problem(C=2176, O=8192, P=512, seed=3)
+    prob = make_big_problem(C=4352, O=8192, P=512, seed=3)
     cfg = BAConfig(robust_loss="huber")
     ne = core.build_normal_equations(
         prob, prob.cam_params, prob.points, jnp.asarray(1e-3), cfg
@@ -200,3 +200,36 @@ def test_feature_major_branches_match_w_path():
         "oij,ojk,olk->oil", ne.W, ne.Hpp_inv[prob.obs_point], ne.W
     ).reshape(O, 36)
     _close(core._whw_rows_t(w_t, hinv_t).T, whw_ref, "feature-major WHW")
+
+
+def test_midc_in_kernel_range_extends_past_2048():
+    """C in (2048, 4096] now runs the in-kernel one-hot path (bf16 split
+    halved the VMEM footprint); solve parity vs the kernel-free path."""
+    from sfm_tpu.ba.core import bundle_adjust
+    C, O, P = 2304, 4096, 512
+    assert schur_spmv.matvec_tile(C, 256) > 0
+    rng = np.random.default_rng(3)
+    obs_point = np.repeat(np.arange(P, dtype=np.int32), O // P)  # aligned segments
+    pts = rng.normal(size=(P, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    prob = BAProblem(
+        cam_params=jnp.asarray(rng.normal(0, 0.05, (C, 6)).astype(np.float32)),
+        intrinsics=jnp.tile(jnp.asarray([400, 400, 256, 256, 0, 0], jnp.float32), (C, 1)),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(rng.integers(0, C, O).astype(np.int32)),
+        obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(rng.normal(size=(O, 2)).astype(np.float32) * 100 + 256),
+        obs_w=jnp.ones(O, jnp.float32),
+        cam_fixed=jnp.zeros(C, bool).at[0].set(True),
+        point_fixed=jnp.zeros(P, bool),
+        point_align=256,
+    )
+    cfg = BAConfig(max_iterations=2, cg_iterations=8)
+    import os
+    out_k, _ = bundle_adjust(prob, cfg)
+    os.environ["SFM_TPU_BA_DISABLE_KERNELS"] = "1"
+    try:
+        out_ref, _ = bundle_adjust(prob, cfg)
+    finally:
+        del os.environ["SFM_TPU_BA_DISABLE_KERNELS"]
+    _close(out_k.cam_params, out_ref.cam_params, "cam_params", atol=5e-3)
