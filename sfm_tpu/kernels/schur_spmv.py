@@ -544,7 +544,12 @@ def matvec_tile(num_cameras: int, point_align: int) -> int:
     in VMEM. Returns 0 when the kernel is not usable. Past _MAX_CAMS the
     big variant (matvec_tile_big) applies instead.
     """
-    if point_align <= 0 or num_cameras > _MAX_CAMS:
+    # The coupling matvec keeps the OLD 2048 cap: at C=4096 the kernel
+    # compiles standalone but the remote TPU compiler aborts when it is
+    # composed inside the PCG fori_loop (reproduced twice on ba_midc.py
+    # 4096); the big variant + camera-sorted reduction covers that range.
+    # The NE/WHW/segment-sum kernels use the full bf16-era _MAX_CAMS.
+    if point_align <= 0 or num_cameras > 2048:
         return 0
     T = max(512, point_align)
     # Conservative Mosaic footprint: the [T,T] point indicator (iota + bf16
@@ -644,9 +649,13 @@ def _schur_coupling_kernel_big(lids_ref, w_ref, hinv_ref, vobs_ref, y_out_ref):
     u = jnp.concatenate(u_rows + [jnp.zeros((5, T), jnp.float32)], axis=0)  # [8, T]
 
     lids = lids_ref[:]
-    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.bfloat16)
-    g_loc = _dot_split(u, P_loc, (((1,), (1,)), ((), ())))
-    g_obs = _dot_split(g_loc, P_loc, (((1,), (0,)), ((), ())))
+    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.float32)
+    g_loc = jax.lax.dot_general(u, P_loc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+    g_obs = jax.lax.dot_general(g_loc, P_loc, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
 
     hv = hinv_ref[:]                                                       # [9, T]
     h = [sum(hv[k * 3 + l:k * 3 + l + 1, :] * g_obs[l:l + 1, :] for l in range(3))

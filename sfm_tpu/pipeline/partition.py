@@ -199,7 +199,20 @@ def partitioned_reconstruct(
                       f"< {gate:.1f}); their images go to the rescue pass")
             recs = [r for r, b in zip(recs, bad) if not b]
 
-    merged = merge_reconstructions(recs, cfg)
+    if cfg.engine_mode == "global":
+        # Global-mode merge: register every cluster into the full-graph
+        # pose-averaged frame instead of chaining pairwise overlap sim3s.
+        # Per-cluster global solves register fewer seam cameras than the
+        # incremental march, so the cluster-overlap graph can fall apart (a
+        # 512 run measured 15 edges over 18 clusters in THREE components —
+        # 15 clusters dropped). The scale-synced pose graph is globally
+        # stiff (2.2% center RMSE on the same run's full graph), covers
+        # every camera, and needs no overlap at all.
+        merged = _merge_via_pose_graph(recs, feats, graph, intrinsics, cfg)
+        if merged is None:
+            merged = merge_reconstructions(recs, cfg)
+    else:
+        merged = merge_reconstructions(recs, cfg)
 
     # Cross-cluster track consolidation (COLMAP merge-tracks analog): the
     # per-cluster engines never see cross-cluster match edges, so one
@@ -225,6 +238,76 @@ def partitioned_reconstruct(
         store.save_reconstruction(key, merged, stage="merged_prepolish")
 
     _polish_phase(merged, feats, graph, intrinsics, cfg)
+    return merged
+
+
+def _merge_via_pose_graph(recs, feats, graph, intrinsics, cfg):
+    """Place every cluster model into the full-graph pose-averaged frame.
+
+    One pose_graph_poses solve (rotation averaging + edge-scale-synced
+    centers) over the WHOLE match graph, then a trimmed per-cluster sim3
+    fit of each cluster's registered camera centers onto the pose-graph
+    centers. No cluster-overlap requirement, no chaining, no drift
+    accumulation; a cluster whose fit residual stays large relative to its
+    spread is dropped (collapsed basin) and its images go to the rescue
+    pass. Returns None when the pose graph covers too little of the scene
+    (callers fall back to the overlap sim3 sync).
+    """
+    from sfm_tpu.geometry.similarity import umeyama_np
+    from sfm_tpu.pipeline.global_pose import _so3_exp_np, pose_graph_poses
+    from sfm_tpu.pipeline.merge import (apply_sim3_to_reconstruction,
+                                        merge_two)
+
+    B = len(intrinsics)
+    rvecs_pg, tvecs_pg, valid = pose_graph_poses(graph, B, feats=feats,
+                                                 intrinsics=intrinsics)
+    if valid.sum() < 0.5 * max(r.num_registered for r in recs):
+        return None
+    Rpg = _so3_exp_np(rvecs_pg.astype(np.float64))
+    c_pg = -np.einsum("nji,nj->ni", Rpg, tvecs_pg.astype(np.float64))
+
+    merged = None
+    dropped = 0
+    for ci, rec in enumerate(recs):
+        both = rec.registered & valid
+        ids = np.where(both)[0]
+        if len(ids) < 3:
+            dropped += 1
+            continue
+        Rc = _so3_exp_np(rec.rvecs[ids].astype(np.float64))
+        c_cl = -np.einsum("nji,nj->ni", Rc, rec.tvecs[ids].astype(np.float64))
+        dst = c_pg[ids]
+        s, Rw, t = umeyama_np(c_cl, dst)
+        for _ in range(2):  # trimmed refit
+            fit = s * c_cl @ np.asarray(Rw).T + np.asarray(t)
+            err = np.linalg.norm(fit - dst, axis=1)
+            keep = err <= np.quantile(err, 0.75)
+            if keep.sum() < 3:
+                break
+            s, Rw, t = umeyama_np(c_cl[keep], dst[keep])
+        fit = s * c_cl @ np.asarray(Rw).T + np.asarray(t)
+        err = np.linalg.norm(fit - dst, axis=1)
+        spread = float(np.linalg.norm(dst - dst.mean(0), axis=1).mean()) + 1e-12
+        rel = float(np.sqrt((err ** 2).mean()) / spread)
+        if rel > 0.35:
+            # The cluster's internal shape disagrees with the pose graph —
+            # a collapsed or folded basin that no rigid+scale fit explains.
+            if cfg.verbose:
+                print(f"[sfm_tpu] pose-graph merge: cluster {ci} dropped "
+                      f"(fit rel_rms {rel:.2f})")
+            dropped += 1
+            continue
+        placed = apply_sim3_to_reconstruction(rec, float(s), np.asarray(Rw),
+                                              np.asarray(t))
+        merged = placed if merged is None else merge_two(merged, placed,
+                                                         align=False)
+        if cfg.verbose:
+            print(f"[sfm_tpu] pose-graph merge: cluster {ci} placed "
+                  f"({len(ids)} cams, fit rel_rms {rel:.3f})")
+    if merged is None:
+        return None
+    if dropped and cfg.verbose:
+        print(f"[sfm_tpu] pose-graph merge: {dropped} cluster(s) dropped")
     return merged
 
 

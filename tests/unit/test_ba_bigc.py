@@ -207,7 +207,11 @@ def test_midc_in_kernel_range_extends_past_2048():
     halved the VMEM footprint); solve parity vs the kernel-free path."""
     from sfm_tpu.ba.core import bundle_adjust
     C, O, P = 2304, 4096, 512
-    assert schur_spmv.matvec_tile(C, 256) > 0
+    # The fused-NE / WHW / segment-sum kernels now cover C <= 4096 (bf16
+    # one-hots); the coupling matvec deliberately keeps the 2048 cap (its
+    # fori_loop composition at 4096 crashes the remote TPU compiler).
+    assert schur_spmv.matvec_tile(C, 256) == 0
+    assert schur_spmv._MAX_CAMS >= C
     rng = np.random.default_rng(3)
     obs_point = np.repeat(np.arange(P, dtype=np.int32), O // P)  # aligned segments
     pts = rng.normal(size=(P, 3)).astype(np.float32)
