@@ -527,7 +527,12 @@ def _solve_invariants(prob: BAProblem, cam_params, cfg: BAConfig, axis_name) -> 
         lids = (op - op[:, :1]).reshape(O)
     cam_perm = cam_bounds = None
     mv_big_tile = 0
-    if axis_name is None and prob.num_cameras > schur_spmv._MAX_CAMS:
+    # Large-C regime = no in-kernel coupling matvec available. NOTE: this is
+    # keyed on mv_tile, not _MAX_CAMS — the NE/WHW kernels now reach C=4096
+    # while the coupling matvec caps at 2048 (its fori_loop composition
+    # crashes the TPU compiler past that), so C in (2048, 4096] needs the
+    # camera-sorted big path for the matvec even though NE stays in-kernel.
+    if axis_name is None and not mv_tile:
         # Large-C regime: camera reductions run over a camera-sorted view
         # (one argsort per solve, O(log O) on device) instead of the one-hot
         # kernels (VMEM-capped) or the XLA scatter (serializes).
