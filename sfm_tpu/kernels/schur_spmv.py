@@ -54,15 +54,27 @@ def _dot_split(x: jnp.ndarray, onehot: jnp.ndarray, dims, nterms: int = 3):
     rate with fp32 accumulation.
     """
     oh = onehot.astype(jnp.bfloat16)
-    acc = None
+    terms = []
     rem = x
     for _ in range(nterms):
         hi = rem.astype(jnp.bfloat16)
-        part = jax.lax.dot_general(hi, oh, dims,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.DEFAULT)
-        acc = part if acc is None else acc + part
+        terms.append(hi)
         rem = rem - hi.astype(jnp.float32)
+    # Stack the split terms on the FREE (row) axis and issue ONE dot: the
+    # MXU pass count of an [M, K] @ [K, N] dot is ceil(M/128)*(K/128)*(N/128)
+    # — at M = 8 every split term pays a full 128-row pass for 8 useful
+    # rows, so three sequential term dots cost 3x the passes of one stacked
+    # [3M, K] dot (matvec M=8 -> 24, NE payload M=48 -> 144 = 2 row tiles
+    # instead of 3). Every call site contracts x's axis 1, leaving axis 0
+    # free; the fp32 term sum afterwards is the same add order as before.
+    assert x.ndim == 2 and dims[0][0] == (1,)
+    M = x.shape[0]
+    part = jax.lax.dot_general(jnp.concatenate(terms, axis=0), oh, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+    acc = part[:M]
+    for t in range(1, nterms):
+        acc = acc + part[t * M:(t + 1) * M]
     return acc
 
 
@@ -579,20 +591,24 @@ def matvec_tile_big(point_align: int) -> int:
     return T
 
 
-def _schur_coupling_kernel(ids_ref, lids_ref, w_ref, hinv_ref, v_ref, out_ref, acc_ref):
+def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, v_ref,
+                           out_ref, acc_ref):
     """One observation tile of the implicit Schur coupling term
     (W Hpp^-1 W^T v), the hot op of every PCG iteration (ba/core.py):
 
       u_o = W_o^T v[cam_o];  g_p = sum_{o in p} u_o;  h_p = Hpp_p^-1 g_p
       out_c = sum_{o in c} W_o h_{p(o)}
 
-    All four index operations run on the MXU: v[cam_o] and the final
-    per-camera reduction via the camera one-hot, and the point
-    reduce-then-broadcast via the [T,T] TILE-LOCAL point one-hot — valid
-    because BAProblem.point_align certifies no point segment straddles a
-    tile boundary, so each point's full segment is resident in exactly one
-    tile. Feature-major layout throughout ([rows, obs]; a [T,k] column
-    layout pads every per-observation scalar to 128 lanes).
+    All index operations run on the MXU: v[cam_o] and the final per-camera
+    reduction via the camera one-hot, and the point segment-sum-broadcast
+    via the [T,T] TILE-LOCAL same-point PAIR indicator
+    P[o1,o2] = [point(o1) == point(o2)] — valid because
+    BAProblem.point_align certifies no point segment straddles a tile
+    boundary, so each point's full segment is resident in exactly one tile.
+    (One pair dot replaces the earlier segment-sum + broadcast-back dot
+    pair: same sums, half the MXU passes, one fewer fp32->bf16 resplit.)
+    Feature-major layout throughout ([rows, obs]; a [T,k] column layout
+    pads every per-observation scalar to 128 lanes).
     """
     step = pl.program_id(0)
 
@@ -613,11 +629,10 @@ def _schur_coupling_kernel(ids_ref, lids_ref, w_ref, hinv_ref, v_ref, out_ref, a
     u_rows = [sum(W(i, k) * v_obs[i:i + 1, :] for i in range(6)) for k in range(3)]
     u = jnp.concatenate(u_rows + [jnp.zeros((5, T), jnp.float32)], axis=0)  # [8, T]
 
-    # Tile-local point indicator: P[q, o] = [local_point(o) == q].
-    lids = lids_ref[:]
-    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.bfloat16)
-    g_loc = _dot_split(u, P_loc, (((1,), (1,)), ((), ())))                 # segment sums
-    g_obs = _dot_split(g_loc, P_loc, (((1,), (0,)), ((), ())))             # broadcast back
+    # Same-point pair indicator (symmetric): broadcast compare of the
+    # column-form lids against the row form — VPU only, no iota dot.
+    P_pair = (lidc_ref[:] == lids_ref[:]).astype(jnp.bfloat16)             # [T, T]
+    g_obs = _dot_split(u, P_pair, (((1,), (0,)), ((), ())))                # [8, T]
 
     hv = hinv_ref[:]                                                       # [9, T]
     h = [sum(hv[k * 3 + l:k * 3 + l + 1, :] * g_obs[l:l + 1, :] for l in range(3))
@@ -631,13 +646,15 @@ def _schur_coupling_kernel(ids_ref, lids_ref, w_ref, hinv_ref, v_ref, out_ref, a
         out_ref[:] = acc_ref[:]
 
 
-def _schur_coupling_kernel_big(lids_ref, w_ref, hinv_ref, vobs_ref, y_out_ref):
+def _schur_coupling_kernel_big(lids_ref, lidc_ref, w_ref, hinv_ref, vobs_ref,
+                               y_out_ref):
     """Large-C coupling matvec tile: v arrives PRE-GATHERED per observation
     ([8, T] feature-major — an XLA gather of v[obs_cam] outside the kernel)
     and y_o = W_o Hpp^-1_{p(o)} (segsum_p W^T v) goes out per observation
     for the caller's camera-sorted reduction. The point-side segment
-    reduce/broadcast keeps the [T, T] tile-local one-hot trick (valid by the
-    point_align certificate); no kernel shape depends on C."""
+    sum-broadcast uses the [T, T] tile-local same-point pair indicator
+    (valid by the point_align certificate — see _schur_coupling_kernel);
+    no kernel shape depends on C."""
     T = lids_ref.shape[1]
     v_obs = vobs_ref[:]                                                    # [8, T]
     w = w_ref[:]                                                           # [18, T]
@@ -648,14 +665,8 @@ def _schur_coupling_kernel_big(lids_ref, w_ref, hinv_ref, vobs_ref, y_out_ref):
     u_rows = [sum(W(i, k) * v_obs[i:i + 1, :] for i in range(6)) for k in range(3)]
     u = jnp.concatenate(u_rows + [jnp.zeros((5, T), jnp.float32)], axis=0)  # [8, T]
 
-    lids = lids_ref[:]
-    P_loc = (lids == jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)).astype(jnp.float32)
-    g_loc = jax.lax.dot_general(u, P_loc, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-    g_obs = jax.lax.dot_general(g_loc, P_loc, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
+    P_pair = (lidc_ref[:] == lids_ref[:]).astype(jnp.bfloat16)             # [T, T]
+    g_obs = _dot_split(u, P_pair, (((1,), (0,)), ((), ())))                # [8, T]
 
     hv = hinv_ref[:]                                                       # [9, T]
     h = [sum(hv[k * 3 + l:k * 3 + l + 1, :] * g_obs[l:l + 1, :] for l in range(3))
@@ -678,6 +689,7 @@ def schur_coupling_payloads_big(lids: jnp.ndarray, w_t: jnp.ndarray,
         grid=(O // tile,),
         in_specs=[
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((18, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -685,7 +697,8 @@ def schur_coupling_payloads_big(lids: jnp.ndarray, w_t: jnp.ndarray,
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, O), jnp.float32),
         interpret=interpret,
-    )(lids.astype(jnp.int32)[None, :], w_t, hinv_t, v_obs_t)
+    )(lids.astype(jnp.int32)[None, :], lids.astype(jnp.int32)[:, None],
+      w_t, hinv_t, v_obs_t)
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -708,6 +721,7 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
         in_specs=[
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((18, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -717,5 +731,5 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
         scratch_shapes=[pltpu.VMEM((8, C), jnp.float32)],
         interpret=interpret,
     )(obs_cam.astype(jnp.int32)[None, :], lids.astype(jnp.int32)[None, :],
-      w_t, hinv_t, v8)
+      lids.astype(jnp.int32)[:, None], w_t, hinv_t, v8)
     return out[:6].T
