@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TILE_OBS = 1024      # observation rows per grid step
 _MAX_CAMS = 4096      # VMEM budget: onehot tile [T, C] bf16 = 2MB at the cap
+_MV_MAX_CAMS = 16384  # two-level coupling matvec cap (10k merged polish)
                       # (bf16 one-hots + _dot_split halved the footprint
                       # that previously capped this at 2048)
 
@@ -547,30 +548,36 @@ def cam_segment_sum(values: jnp.ndarray, obs_cam: jnp.ndarray, num_cameras: int,
 # ---- Fused Schur-complement coupling matvec --------------------------------
 
 
+def _matvec_lo_width(num_cameras: int) -> int:
+    """LO-level width of the two-level camera indexing (power of two)."""
+    L = 128
+    while L < min(num_cameras, 512):
+        L *= 2
+    return L
+
+
 def matvec_tile(num_cameras: int, point_align: int) -> int:
     """Observation-tile choice for the fused coupling matvec.
 
     Must be a multiple of the problem's point_align (so no point segment
     straddles a tile), large enough for MXU efficiency, and small enough
-    that the [C,T] camera one-hot plus the [T,T] local-point indicator fit
-    in VMEM. Returns 0 when the kernel is not usable. Past _MAX_CAMS the
-    big variant (matvec_tile_big) applies instead.
+    that the two-level VMEM residents fit: the [L,T] lo one-hot, the [T,T]
+    local-point pair indicator, the [n_hi*24, T] gather/scatter staging and
+    the [n_hi*24, L] blocked v/accumulator. With the two-level camera
+    indexing nothing scales with full C on the T axis, so the in-kernel
+    path now covers the 10k-polish C=16384 regime that used to fall back
+    to the XLA big path (92 ms/matvec at C=4096 vs ~a few in-kernel).
+    Returns 0 when the kernel is not usable; past _MV_MAX_CAMS the big
+    variant (matvec_tile_big) applies instead.
     """
-    # The coupling matvec keeps the OLD 2048 cap: at C=4096 the kernel
-    # compiles standalone but the remote TPU compiler aborts when it is
-    # composed inside the PCG fori_loop (reproduced twice on ba_midc.py
-    # 4096); the big variant + camera-sorted reduction covers that range.
-    # The NE/WHW/segment-sum kernels use the full bf16-era _MAX_CAMS.
-    if point_align <= 0 or num_cameras > 2048:
+    if point_align <= 0 or num_cameras > _MV_MAX_CAMS:
         return 0
+    L = _matvec_lo_width(num_cameras)
+    n_hi = -(-num_cameras // L)
     T = max(512, point_align)
-    # Conservative Mosaic footprint: the [T,T] point indicator (iota + bf16
-    # mask, held across two dots) plus the [C,T] bf16 camera one-hot and the
-    # bf16 split temporaries; T=1024 measured 19.3MB at C=128 in the fp32
-    # era (hard 16MB scoped-vmem limit). The bf16 masks halve both leading
-    # terms; shrink T before giving up so C up to _MAX_CAMS stays in-kernel.
     while T >= max(256, point_align):
-        vmem = 10 * T * T + 7 * num_cameras * T + (1 << 20)
+        vmem = (12 * T * T + 10 * L * T + 150 * n_hi * T
+                + 200 * n_hi * L + (1 << 20))
         if vmem <= 14 * (1 << 20):
             return T
         T //= 2
@@ -591,7 +598,7 @@ def matvec_tile_big(point_align: int) -> int:
     return T
 
 
-def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, v_ref,
+def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, vb_ref,
                            out_ref, acc_ref):
     """One observation tile of the implicit Schur coupling term
     (W Hpp^-1 W^T v), the hot op of every PCG iteration (ba/core.py):
@@ -599,16 +606,22 @@ def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, v_ref,
       u_o = W_o^T v[cam_o];  g_p = sum_{o in p} u_o;  h_p = Hpp_p^-1 g_p
       out_c = sum_{o in c} W_o h_{p(o)}
 
-    All index operations run on the MXU: v[cam_o] and the final per-camera
-    reduction via the camera one-hot, and the point segment-sum-broadcast
-    via the [T,T] TILE-LOCAL same-point PAIR indicator
-    P[o1,o2] = [point(o1) == point(o2)] — valid because
-    BAProblem.point_align certifies no point segment straddles a tile
-    boundary, so each point's full segment is resident in exactly one tile.
-    (One pair dot replaces the earlier segment-sum + broadcast-back dot
-    pair: same sums, half the MXU passes, one fewer fp32->bf16 resplit.)
-    Feature-major layout throughout ([rows, obs]; a [T,k] column layout
-    pads every per-observation scalar to 128 lanes).
+    Camera indexing is TWO-LEVEL: cam = hi * L + lo with L <= 512. A flat
+    [C, T] camera one-hot costs C*T VPU ops to generate and (C/128)(T/128)
+    MXU passes per dot — both linear in C, which is what killed the
+    in-kernel path past C = 2048. Here only the [L, T] LO one-hot feeds the
+    MXU; the HI level is n_hi = C/L cheap [1, T] mask compares with a
+    VPU masked accumulate over 24-row blocks, so per-tile cost is nearly
+    C-independent (the 10k-polish C = 16384 stays in-kernel). v arrives
+    pre-blocked by the wrapper as [n_hi*24, L] fp32 — rows are
+    (hi, bf16-split term, camera feature) — and the accumulator leaves in
+    the same layout for the wrapper's term-sum.
+
+    The point segment-sum-broadcast is one dot against the [T,T] TILE-LOCAL
+    same-point PAIR indicator P[o1,o2] = [point(o1) == point(o2)] — valid
+    because BAProblem.point_align certifies no point segment straddles a
+    tile boundary. Feature-major layout throughout ([rows, obs]; a [T,k]
+    column layout pads every per-observation scalar to 128 lanes).
     """
     step = pl.program_id(0)
 
@@ -617,10 +630,23 @@ def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, v_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     T = ids_ref.shape[1]
-    C = acc_ref.shape[1]
+    L = vb_ref.shape[1]
+    n_hi = vb_ref.shape[0] // 24
     ids = ids_ref[:]
-    onehot_c = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.bfloat16)
-    v_obs = _dot_split(v_ref[:], onehot_c, (((1,), (0,)), ((), ())))       # [8, T]
+    ids_lo = jax.lax.bitwise_and(ids, L - 1)
+    ids_hi = jax.lax.shift_right_logical(ids, L.bit_length() - 1)
+    oh_lo = (ids_lo == jax.lax.broadcasted_iota(jnp.int32, (L, T), 0)).astype(jnp.bfloat16)
+    masks = [(ids_hi == h) for h in range(n_hi)]                           # [1, T]
+
+    # Gather v[cam_o]: lo-level dot for ALL hi blocks at once, then hi-mask.
+    A = jax.lax.dot_general(vb_ref[:].astype(jnp.bfloat16), oh_lo,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)           # [n_hi*24, T]
+    v24 = masks[0].astype(jnp.float32) * A[0:24]
+    for h in range(1, n_hi):
+        v24 = v24 + masks[h].astype(jnp.float32) * A[h * 24:(h + 1) * 24]
+    v_obs = v24[0:8] + v24[8:16] + v24[16:24]                              # [8, T]
     w = w_ref[:]                                                           # [18, T]
 
     def W(i, k):
@@ -639,7 +665,20 @@ def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, v_ref,
          for k in range(3)]
     y_rows = [sum(W(i, k) * h[k] for k in range(3)) for i in range(6)]
     y = jnp.concatenate(y_rows + [jnp.zeros((2, T), jnp.float32)], axis=0)  # [8, T]
-    acc_ref[:] += _dot_split(y, onehot_c, (((1,), (1,)), ((), ())))        # [8, C]
+
+    # Scatter to cameras, two-level: bf16-split y, hi-mask each block (the
+    # 0/1 mask keeps terms bf16-exact), one lo-level dot into the blocked
+    # accumulator. The wrapper sums the split terms per (hi, lo) column.
+    t0 = y.astype(jnp.bfloat16)
+    r1 = y - t0.astype(jnp.float32)
+    t1 = r1.astype(jnp.bfloat16)
+    t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+    y24 = jnp.concatenate([t0, t1, t2], axis=0)                            # [24, T]
+    Y = jnp.concatenate([y24 * masks[h].astype(jnp.bfloat16) for h in range(n_hi)],
+                        axis=0)                                            # [n_hi*24, T]
+    acc_ref[:] += jax.lax.dot_general(Y, oh_lo, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
@@ -711,11 +750,24 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
     (row k*3+l = Hpp_inv[k,l], gathered per observation), obs_cam [O],
     lids [O] (point id minus the first point id of the observation's tile).
     tile must come from matvec_tile() and divide O.
+
+    v is pre-split (3-term bf16) and pre-blocked into the kernel's
+    two-level [n_hi*24, L] layout here — tiny XLA ops on a [24, C] array,
+    once per matvec (see _schur_coupling_kernel).
     """
     O = w_t.shape[1]
     C = v.shape[0]
-    v8 = jnp.zeros((8, C), jnp.float32).at[:6].set(v.T)
-    out = pl.pallas_call(
+    L = _matvec_lo_width(C)
+    Cp = -(-C // L) * L
+    n_hi = Cp // L
+    v8 = jnp.zeros((8, Cp), jnp.float32).at[:6, :C].set(v.T)
+    t0 = v8.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = v8 - t0
+    t1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    t2 = (r1 - t1).astype(jnp.bfloat16).astype(jnp.float32)
+    vb = (jnp.concatenate([t0, t1, t2], axis=0)        # [24, Cp], rows (term, feat)
+          .reshape(24, n_hi, L).transpose(1, 0, 2).reshape(n_hi * 24, L))
+    acc = pl.pallas_call(
         _schur_coupling_kernel,
         grid=(O // tile,),
         in_specs=[
@@ -724,12 +776,13 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((18, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_hi * 24, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, C), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, C), jnp.float32)],
+        out_specs=pl.BlockSpec((n_hi * 24, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_hi * 24, L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_hi * 24, L), jnp.float32)],
         interpret=interpret,
     )(obs_cam.astype(jnp.int32)[None, :], lids.astype(jnp.int32)[None, :],
-      lids.astype(jnp.int32)[:, None], w_t, hinv_t, v8)
-    return out[:6].T
+      lids.astype(jnp.int32)[:, None], w_t, hinv_t, vb)
+    out = acc.reshape(n_hi, 3, 8, L).sum(axis=1).transpose(1, 0, 2).reshape(8, Cp)
+    return out[:6, :C].T
