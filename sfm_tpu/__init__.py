@@ -30,4 +30,14 @@ import jax as _jax
 # this only affects the small/accuracy-critical fp32 contractions.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Concurrent processes sharing one persistent compile cache can corrupt it
+# (observed: reader abort inside get_executable_and_time). Redirect to a
+# per-process staging dir with an atomic merge-back at exit.
+import os as _os  # noqa: E402
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    from sfm_tpu.utils.compile_cache import setup_cache as _setup_cache
+
+    _setup_cache(_os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 from sfm_tpu.api import reconstruct  # noqa: F401

@@ -708,6 +708,72 @@ def merge_tracks_by_proximity(
     return n
 
 
+def split_tracks_by_consensus(
+    rec: Reconstruction, max_px: float = 4.0, min_keep: int = 2,
+    verbose: bool = False,
+) -> int:
+    """Break CONTAMINATED tracks by geometric consensus at the current poses
+    (the round-4 consolidation study's binding constraint: on the 512-orbit
+    blob scene ~54% of union-find tracks glue temporally disjoint fragments
+    of DIFFERENT physical points — zero conflict evidence exists at union
+    time, so only geometry can see it; NOTES.md round-4).
+
+    For every valid track, observations whose reprojection error at the
+    CURRENT point exceeds max_px (or whose depth is non-positive) are
+    DETACHED — but not dropped: each track's detached set becomes a fresh
+    candidate point (appended to the point table) when it has >= 2 rows, so
+    a glued pair of fragments separates into two tracks instead of losing
+    the minority fragment. The follow-up retriangulate places the new
+    points (and rejects them if the detached set is itself inconsistent —
+    a multi-fragment glue unwinds over successive consolidation rounds).
+    Tracks whose consensus core would fall below min_keep rows are left
+    intact (retriangulation owns their fate). Mutates rec; returns the
+    number of detached observations.
+    """
+    pv = rec.point_valid
+    if rec.obs_point is None or not pv.any():
+        return 0
+    err, depth = rec.reprojection_errors_depths()
+    valid_rows = pv[rec.obs_point]
+    bad = valid_rows & ((err > max_px) | (depth <= 0))
+    if not bad.any():
+        return 0
+    # Core size per track (rows that stay); only split where the core keeps
+    # min_keep rows AND at least one row detaches.
+    P0 = len(rec.points)
+    good_cnt = np.bincount(rec.obs_point[valid_rows & ~bad], minlength=P0)
+    split_ok = good_cnt[rec.obs_point] >= min_keep
+    detach = bad & split_ok
+    if not detach.any():
+        return 0
+
+    # One new point per affected old track; detached rows remap to it.
+    old_pid = rec.obs_point[detach]
+    affected = np.unique(old_pid)
+    new_of_old = -np.ones(P0, np.int64)
+    new_of_old[affected] = P0 + np.arange(len(affected))
+    n_new = len(affected)
+
+    rec.points = np.concatenate([rec.points, rec.points[affected]], axis=0)
+    rec.point_errors = np.concatenate(
+        [rec.point_errors, np.zeros(n_new, rec.point_errors.dtype)])
+    # New candidates start valid only if they can triangulate (>= 2 rows);
+    # singletons park at an INVALID new point, preserving the row for a
+    # future correspondence-vote fuse instead of deleting the evidence.
+    det_cnt = np.bincount(old_pid, minlength=P0)
+    can_tri = det_cnt[affected] >= 2
+    rec.point_valid = np.concatenate([rec.point_valid, can_tri])
+
+    rec.obs_point = rec.obs_point.copy()
+    rec.obs_point[detach] = new_of_old[old_pid].astype(np.int32)
+    n_det = int(detach.sum())
+    if verbose:
+        print(f"[sfm_tpu] track split: detached {n_det} obs from "
+              f"{len(affected)} contaminated tracks "
+              f"({int(can_tri.sum())} new candidate points)")
+    return n_det
+
+
 def merge_reconstructions(recs: list[Reconstruction], cfg: PipelineConfig) -> Reconstruction:
     """Sim3-synchronize all clusters into the anchor frame (loop closure),
     then fuse. Clusters disconnected from the anchor component are dropped

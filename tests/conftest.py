@@ -27,7 +27,12 @@ jax.config.update("jax_enable_x64", False)  # framework is fp32-first, like the 
 # restarts — a stale entry from a different host segfaulted (SIGILL-class)
 # mid-suite when shared with the TPU cache. The TPU cache (.jax_cache) is
 # unaffected: axon executables never lower to host machine code.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+# Per-process staging + atomic merge-back: concurrent suite/pipeline runs
+# on the same cache corrupted it once (NOTES round-4); see
+# sfm_tpu/utils/compile_cache.py.
+from sfm_tpu.utils.compile_cache import setup_cache  # noqa: E402
+
+setup_cache("/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # SURVEY.md §5.2: JAX designs data races out; the remaining numeric hazard is

@@ -202,15 +202,55 @@ def test_feature_major_branches_match_w_path():
     _close(core._whw_rows_t(w_t, hinv_t).T, whw_ref, "feature-major WHW")
 
 
+def test_matvec_tile_two_level_gating():
+    """The two-level coupling matvec (commit 1f83e8c: [L,T] lo one-hot +
+    hi-mask accumulate, nothing scales with full C on the T axis) covers
+    C <= _MV_MAX_CAMS = 16384 — the whole 10k merged-polish regime. The old
+    flat [C,T] one-hot capped out at 2048 and its fori_loop composition
+    crashed the TPU compiler at 4096; the rewrite's parity on the real chip
+    is logged by benchmarks/matvec_parity.py (VERDICT r4 next #1)."""
+    for C in (512, 2304, 4096, 10240, 16384):
+        assert schur_spmv.matvec_tile(C, 256) > 0, C
+    assert schur_spmv.matvec_tile(schur_spmv._MV_MAX_CAMS + 1, 256) == 0
+    assert schur_spmv.matvec_tile(2304, 0) == 0  # unaligned: no certificate
+
+
+def test_two_level_coupling_matvec_matches_xla_midc():
+    """Interpret-mode parity of the TWO-LEVEL kernel itself at C past the
+    old 2048 cap: n_hi > 1 exercises the hi-mask accumulate + blocked
+    scatter paths that the flat kernel never had."""
+    rng = np.random.default_rng(17)
+    C, O, P, tile = 2304, 2048, 128, 512
+    assert schur_spmv.matvec_tile(C, tile) == tile
+    L = schur_spmv._matvec_lo_width(C)
+    assert -(-C // L) > 1  # two-level: multiple hi blocks
+    obs_point = np.repeat(np.arange(P, dtype=np.int32), O // P)
+    obs_cam = jnp.asarray(rng.integers(0, C, O).astype(np.int32))
+    w_t = jnp.asarray(rng.normal(size=(18, O)).astype(np.float32))
+    hs = rng.normal(size=(O, 3, 3)).astype(np.float32)
+    hinv = jnp.asarray((hs + hs.transpose(0, 2, 1)) / 2)
+    hinv_t = hinv.reshape(O, 9).T
+    op = obs_point.reshape(O // tile, tile)
+    lids = jnp.asarray((op - op[:, :1]).reshape(O))
+    v = jnp.asarray(rng.normal(size=(C, 6)).astype(np.float32))
+
+    got = schur_spmv.schur_coupling_matvec(
+        obs_cam, lids, w_t, hinv_t, v, tile=tile, interpret=INTERP)
+
+    W = w_t.T.reshape(O, 6, 3)
+    u = jnp.einsum("oik,oi->ok", W, v[obs_cam])
+    g = jax.ops.segment_sum(u, jnp.asarray(obs_point), P)
+    h = jnp.einsum("okl,ol->ok", hinv, g[obs_point])
+    ref = jax.ops.segment_sum(jnp.einsum("oik,ok->oi", W, h), obs_cam, C)
+    _close(got, ref, "two-level coupling matvec", atol=1e-4)
+
+
 def test_midc_in_kernel_range_extends_past_2048():
-    """C in (2048, 4096] now runs the in-kernel one-hot path (bf16 split
-    halved the VMEM footprint); solve parity vs the kernel-free path."""
+    """C in (2048, 4096] runs fully in-kernel (bf16-split one-hot NE/WHW +
+    the two-level coupling matvec); solve parity vs the kernel-free path."""
     from sfm_tpu.ba.core import bundle_adjust
     C, O, P = 2304, 4096, 512
-    # The fused-NE / WHW / segment-sum kernels now cover C <= 4096 (bf16
-    # one-hots); the coupling matvec deliberately keeps the 2048 cap (its
-    # fori_loop composition at 4096 crashes the remote TPU compiler).
-    assert schur_spmv.matvec_tile(C, 256) == 0
+    assert schur_spmv.matvec_tile(C, 256) > 0
     assert schur_spmv._MAX_CAMS >= C
     rng = np.random.default_rng(3)
     obs_point = np.repeat(np.arange(P, dtype=np.int32), O // P)  # aligned segments

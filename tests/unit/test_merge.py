@@ -328,3 +328,68 @@ def test_proximity_merge_preserves_quality():
     n = merge_tracks_by_proximity(rec, max_px=6.0)
     assert n >= 1
     assert not (rec.point_valid[p1] and rec.point_valid[p2])
+
+
+def test_split_tracks_by_consensus_separates_glued_fragments():
+    """A track gluing observations of two distinct physical points (the
+    round-4 contamination study's failure mode) must split: the consensus
+    core keeps the old point, the detached rows form a new point, and
+    retriangulation restores a clean model."""
+    from sfm_tpu.pipeline.global_pose import retriangulate_reconstruction
+    from sfm_tpu.pipeline.merge import split_tracks_by_consensus
+
+    scene = make_orbit_scene(num_cameras=10, num_points=40, noise_px=0.0, seed=41)
+    rec = scene_to_reconstruction(scene)
+    # Glue point 7's observations onto point 3 (two far-apart GT points).
+    d = np.linalg.norm(scene.points[3] - scene.points[7])
+    assert d > 0.1
+    victim = rec.obs_point == 7
+    n_victim = int(victim.sum())
+    assert n_victim >= 2
+    rec.obs_point = rec.obs_point.copy()
+    rec.obs_point[victim] = 3
+    rec.point_valid[7] = False
+    P0 = len(rec.points)
+
+    n_det = split_tracks_by_consensus(rec, max_px=3.0, verbose=False)
+    assert n_det == n_victim
+    assert len(rec.points) == P0 + 1
+    assert rec.point_valid[P0]                      # detached set can triangulate
+    assert (rec.obs_point[victim] == P0).all()      # remapped, not dropped
+    assert (rec.obs_point[~victim & (rec.obs_point != P0)] != P0).all()
+
+    retriangulate_reconstruction(rec)
+    assert rec.point_valid[3] and rec.point_valid[P0]
+    np.testing.assert_allclose(rec.points[P0], scene.points[7], atol=1e-2)
+    np.testing.assert_allclose(rec.points[3], scene.points[3], atol=1e-2)
+    assert rec.mean_reprojection_error() < 0.1
+
+
+def test_split_tracks_noop_on_clean_model():
+    from sfm_tpu.pipeline.merge import split_tracks_by_consensus
+
+    scene = make_orbit_scene(num_cameras=8, num_points=30, noise_px=0.0, seed=42)
+    rec = scene_to_reconstruction(scene)
+    P0 = len(rec.points)
+    assert split_tracks_by_consensus(rec, max_px=3.0) == 0
+    assert len(rec.points) == P0
+
+
+def test_split_tracks_keeps_singleton_detachment_dormant():
+    """A single outlier row detaches to an INVALID new point (evidence
+    preserved for a future vote-fuse) rather than being deleted."""
+    from sfm_tpu.pipeline.merge import split_tracks_by_consensus
+
+    scene = make_orbit_scene(num_cameras=8, num_points=30, noise_px=0.0, seed=43)
+    rec = scene_to_reconstruction(scene)
+    O = rec.num_observations
+    rec.obs_uv = rec.obs_uv.copy()
+    row = int(np.where(rec.obs_point == 5)[0][0])
+    rec.obs_uv[row] += 50.0                          # gross 2D outlier
+    P0 = len(rec.points)
+    n = split_tracks_by_consensus(rec, max_px=3.0)
+    assert n == 1
+    assert len(rec.points) == P0 + 1
+    assert not rec.point_valid[P0]
+    assert rec.obs_point[row] == P0
+    assert rec.num_observations == O                 # nothing deleted
