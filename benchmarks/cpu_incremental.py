@@ -1,11 +1,14 @@
-"""OpenCV-CPU incremental SfM — the reference-pipeline stand-in at the
-RECONSTRUCTION level (SURVEY §4.3; earlier cpu_oracle.py stops at
-match+verify). Classic recipe, pure OpenCV primitives: SIFT, BF ratio
-matching, essential-matrix bootstrap (recoverPose), PnP registration
-(solvePnPRansac), pairwise triangulation, reprojection-gated point upkeep.
-No bundle adjustment — OpenCV ships none, so this is the floor a real CPU
-reference would improve on; fidelity comparisons against ground truth are
-the primary signal, wall-clock the secondary.
+"""OpenCV+scipy CPU incremental SfM — the reference-pipeline stand-in at
+the RECONSTRUCTION level (SURVEY §4.3; earlier cpu_oracle.py stops at
+match+verify). Classic Bundler-style recipe from external primitives only:
+SIFT, BF ratio matching, essential-matrix bootstrap (recoverPose), PnP
+registration (solvePnPRansac), pairwise triangulation, reprojection-gated
+point upkeep, and sparse-Jacobian Levenberg-Marquardt bundle adjustment via
+scipy.optimize.least_squares (trf + jac_sparsity — OpenCV ships no BA;
+scipy's sparse LM is the standard CPU-reference substitute). BA runs after
+bootstrap, every few registrations, and at the end — without it the
+comparator drifts and collapses on real scenes (r4: 13.95 px / 67% RMSE),
+which made 'parity with the reference' unfalsifiable (VERDICT r4 next #6).
 """
 
 from __future__ import annotations
@@ -13,6 +16,95 @@ from __future__ import annotations
 import time
 
 import numpy as np
+
+
+def _rodrigues_batch(rvecs):
+    """[N,3] angle-axis -> [N,3,3] rotations, vectorized numpy."""
+    th = np.linalg.norm(rvecs, axis=-1, keepdims=True)
+    th = np.where(th < 1e-12, 1e-12, th)
+    k = rvecs / th
+    K = np.zeros(rvecs.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    s = np.sin(th)[..., None]
+    c = (1.0 - np.cos(th))[..., None]
+    return np.eye(3) + s * K + c * (K @ K)
+
+
+def bundle_adjust_scipy(poses, pts3d, obs, kps, K, max_nfev=40, gate_px=4.0):
+    """Sparse-Jacobian LM over all registered poses + points (in place).
+
+    Parameters are [rvec|tvec] per camera + xyz per point; residuals are
+    pixel reprojection errors; jac_sparsity gives least_squares the
+    camera/point block structure so finite differencing stays O(1) groups.
+    Camera 0 of the parameter order is held fixed (gauge). Observations
+    worse than gate_px after the solve are dropped from `obs`.
+    """
+    import cv2
+    from scipy.optimize import least_squares
+    from scipy.sparse import lil_matrix
+
+    imgs = sorted(poses)
+    cam_of = {im: k for k, im in enumerate(imgs)}
+    rows = [(cam_of[im], pid, kps[im][kp], (im, kp))
+            for (im, kp), pid in obs.items() if im in poses]
+    if len(rows) < 20 or len(pts3d) < 8:
+        return
+    ci = np.asarray([r[0] for r in rows])
+    pi = np.asarray([r[1] for r in rows])
+    uv = np.asarray([r[2] for r in rows])
+    nC, nP, nO = len(imgs), len(pts3d), len(rows)
+
+    x0 = np.concatenate([
+        np.concatenate([np.hstack([cv2.Rodrigues(poses[im][0])[0].ravel(),
+                                   poses[im][1]]) for im in imgs]),
+        np.asarray(pts3d).ravel(),
+    ])
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def fun(x):
+        cams = x[:6 * nC].reshape(nC, 6)
+        pts = x[6 * nC:].reshape(nP, 3)
+        R = _rodrigues_batch(cams[ci, :3])
+        xc = np.einsum("oij,oj->oi", R, pts[pi]) + cams[ci, 3:]
+        z = xc[:, 2]
+        z = np.where(np.abs(z) < 1e-6, np.where(z < 0, -1e-6, 1e-6), z)
+        u = fx * xc[:, 0] / z + cx
+        v = fy * xc[:, 1] / z + cy
+        # Interleaved (u,v) per observation — must match the jac_sparsity
+        # row layout below (rows 2o, 2o+1).
+        return np.column_stack([u - uv[:, 0], v - uv[:, 1]]).ravel()
+
+    A = lil_matrix((2 * nO, 6 * nC + 3 * nP), dtype=int)
+    o = np.arange(nO)
+    for d in range(6):
+        A[2 * o, 6 * ci + d] = 1
+        A[2 * o + 1, 6 * ci + d] = 1
+    for d in range(3):
+        A[2 * o, 6 * nC + 3 * pi + d] = 1
+        A[2 * o + 1, 6 * nC + 3 * pi + d] = 1
+    # Gauge: freeze camera 0 by zeroing its sparsity columns (finite
+    # differences then never perturb it and LM leaves it at x0).
+    A[:, :6] = 0
+
+    res = least_squares(fun, x0, jac_sparsity=A, method="trf", x_scale="jac",
+                        loss="soft_l1", f_scale=gate_px, max_nfev=max_nfev,
+                        ftol=1e-6, xtol=1e-8, verbose=0)
+    cams = res.x[:6 * nC].reshape(nC, 6)
+    cams[0] = x0[:6]
+    pts = res.x[6 * nC:].reshape(nP, 3)
+    for k, im in enumerate(imgs):
+        poses[im] = (cv2.Rodrigues(cams[k, :3])[0], cams[k, 3:].copy())
+    for p in range(nP):
+        pts3d[p] = pts[p]
+
+    # Outlier upkeep: drop observations the solved geometry rejects.
+    resid = fun(res.x)
+    err = np.hypot(resid[0::2], resid[1::2])
+    for row, e in zip(rows, err):
+        if e > 2.0 * gate_px:
+            obs.pop(row[3], None)
 
 
 def opencv_incremental(paths, f_px=None, ratio=0.8, min_pair_inliers=30,
@@ -112,8 +204,10 @@ def opencv_incremental(paths, f_px=None, ratio=0.8, min_pair_inliers=30,
             obs.setdefault((b, y), pid)
 
     triangulate_pair(*sorted((i0, j0)))
+    bundle_adjust_scipy(poses, pts3d, obs, kps, K, gate_px=reproj_gate_px)
 
     # Incremental registration: most 2D-3D correspondences first.
+    since_ba = 0
     for _ in range(n):
         best, best_c = None, pnp_min - 1
         for img in range(n):
@@ -136,6 +230,15 @@ def opencv_incremental(paths, f_px=None, ratio=0.8, min_pair_inliers=30,
         for other in sorted(poses):
             if other != best:
                 triangulate_pair(*sorted((other, best)))
+        since_ba += 1
+        if since_ba >= 5:
+            bundle_adjust_scipy(poses, pts3d, obs, kps, K,
+                                gate_px=reproj_gate_px, max_nfev=25)
+            since_ba = 0
+
+    # Final polish: BA -> outlier drop (inside) -> BA.
+    bundle_adjust_scipy(poses, pts3d, obs, kps, K, gate_px=reproj_gate_px)
+    bundle_adjust_scipy(poses, pts3d, obs, kps, K, gate_px=reproj_gate_px)
 
     # Mean reprojection over all observations.
     errs = []

@@ -5,12 +5,19 @@ The round-4 rewrite (commit 1f83e8c) replaced the flat [C,T] camera one-hot
 with two-level indexing ([L,T] lo one-hot + hi-mask accumulate), extending
 the in-kernel coupling matvec from C<=2048 to C<=16384. The OLD fori_loop
 composition crashed the remote TPU compiler at C=4096; this script proves
-on the real chip that the rewrite (a) compiles, (b) matches the XLA
-reference matvec to fp32 tolerance, and (c) full-solve parity holds
-(kernels on vs SFM_TPU_BA_DISABLE_KERNELS) across the extended range,
-including C=10240 — the 10k-flagship polish camera count.
+on the real chip that the rewrite (a) compiles at every extended scale,
+(b) matches the XLA feature-major reference to fp32 tolerance (which also
+covers the reduce_precision fix for XLA's excess-precision folding of the
+wrapper's 3-term bf16 split — see schur_coupling_matvec), and (c) a full
+kernel-on bundle_adjust runs at C=10240 — the 10k-flagship polish camera
+count — with finite, non-increasing cost.
+
+Remote-compile economy: every fresh program costs minutes in bad tunnel
+weather, so parity is asserted at the KERNEL level (one pallas program +
+one XLA reference program per C) and the full-LM proof compiles once.
 
     python benchmarks/matvec_parity.py [C ...]     (default 2304 4096 10240 16384)
+    MATVEC_PARITY_SOLVE=0 disables the final bundle_adjust proof.
 
 Appends one JSON line per C to benchmarks/matvec_parity.jsonl.
 """
@@ -19,7 +26,6 @@ import json
 import os
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -28,133 +34,146 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+TILE = 512
+# O stays small: each (C, O) pair is a fresh ~5-10 min remote compile in bad
+# tunnel weather, correctness coverage comes from C (n_hi blocks), and the
+# measured steady-state ms at O=8192 is noted as small-O in the log.
+O = 8192             # observations per case; multiple of TILE
+OBS_PER = 8          # aligned segment length (point_align certificate)
 
-def make_problem(seed, C, P, obs_per):
+
+def make_arrays(seed, C):
     import jax.numpy as jnp
-    from sfm_tpu.ba.problem import BAProblem
 
     rng = np.random.default_rng(seed)
-    O = P * obs_per
-    obs_point = np.repeat(np.arange(P, dtype=np.int32), obs_per)
-    return BAProblem(
+    P = O // OBS_PER
+    obs_point = np.repeat(np.arange(P, dtype=np.int32), OBS_PER)
+    op = obs_point.reshape(O // TILE, TILE)
+    lids = jnp.asarray((op - op[:, :1]).reshape(O))
+    hs = rng.normal(size=(O, 9)).astype(np.float32)
+    return dict(
+        obs_cam=jnp.asarray(rng.integers(0, C, O).astype(np.int32)),
+        obs_point=jnp.asarray(obs_point),
+        lids=lids,
+        w_t=jnp.asarray(rng.normal(size=(18, O)).astype(np.float32)),
+        hinv_t=jnp.asarray(hs.T),
+        v=jnp.asarray(rng.normal(size=(C, 6)).astype(np.float32)),
+        P=P,
+    )
+
+
+def xla_ref(a, C):
+    """Feature-major XLA coupling matvec (the product's large-C fallback
+    shape: no [O,6,3] materialization)."""
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.ba.core import _wt_apply, _wt_apply_T
+
+    @jax.jit
+    def f(obs_cam, obs_point, w_t, hinv_t, v):
+        x_t = v.T[:, obs_cam]                                   # [6, O]
+        u_t = _wt_apply_T(w_t, x_t)                             # [3, O]
+        g = jax.ops.segment_sum(u_t.T, obs_point, a["P"])       # [P, 3]
+        g_t = g.T[:, obs_point]                                 # [3, O]
+        Hm = hinv_t.reshape(3, 3, w_t.shape[1])
+        h_t = jnp.einsum("klo,lo->ko", Hm, g_t)                 # [3, O]
+        y_t = _wt_apply(w_t, h_t)                               # [6, O]
+        return jax.ops.segment_sum(y_t.T, obs_cam, C)           # [C, 6]
+
+    return f(a["obs_cam"], a["obs_point"], a["w_t"], a["hinv_t"], a["v"])
+
+
+def run_one(C):
+    from sfm_tpu.kernels import schur_spmv
+
+    tile = schur_spmv.matvec_tile(C, OBS_PER)
+    print(f"C={C} O={O} tile={tile} "
+          f"L={schur_spmv._matvec_lo_width(C)}", flush=True)
+    assert tile == TILE and O % tile == 0
+
+    a = make_arrays(0, C)
+    t0 = time.perf_counter()
+    y_k = np.asarray(schur_spmv.schur_coupling_matvec(
+        a["obs_cam"], a["lids"], a["w_t"], a["hinv_t"], a["v"], tile=tile))
+    t_kernel = time.perf_counter() - t0
+    print(f"  kernel compiled+ran in {t_kernel:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    y_r = np.asarray(xla_ref(a, C))
+    t_ref = time.perf_counter() - t0
+    scale = max(np.abs(y_r).max(), 1.0)
+    rel = float(np.abs(y_k - y_r).max() / scale)
+    print(f"  rel err {rel:.2e} (ref {t_ref:.1f}s)", flush=True)
+    assert rel < 3e-5, rel
+
+    # Steady-state timing: 8 repeat calls on resident inputs (compile done).
+    import jax
+    ts = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        jax.block_until_ready(schur_spmv.schur_coupling_matvec(
+            a["obs_cam"], a["lids"], a["w_t"], a["hinv_t"], a["v"], tile=tile))
+        ts.append(time.perf_counter() - t0)
+    ms = sorted(ts)[len(ts) // 2] * 1000
+    print(f"  kernel matvec {ms:.2f} ms (O={O})", flush=True)
+    return dict(C=C, O=O, tile=tile, rel_err=rel, kernel_ms=round(ms, 3),
+                compile_s=round(t_kernel, 1), backend="tpu", ok=True)
+
+
+def run_solve_proof(C=10240):
+    """Full kernel-on LM at the flagship polish camera count: the entire
+    while_loop program (NE kernels + two-level matvec + epilogue) must
+    compile and converge."""
+    import jax.numpy as jnp
+    from sfm_tpu.config import BAConfig
+    from sfm_tpu.ba import core
+    from sfm_tpu.ba.problem import BAProblem
+
+    rng = np.random.default_rng(7)
+    P = C * 8
+    Osolve = P * 8
+    obs_point = np.repeat(np.arange(P, dtype=np.int32), 8)
+    pts = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+    prob = BAProblem(
         cam_params=jnp.asarray(np.concatenate(
             [rng.normal(0, 0.1, (C, 3)),
              rng.normal(0, 1.0, (C, 3)) + [0, 0, 4]], 1).astype(np.float32)),
         intrinsics=jnp.asarray(np.tile([800.0, 800, 512, 384, 0, 0], (C, 1)).astype(np.float32)),
-        points=jnp.asarray(rng.uniform(-1, 1, (P, 3)).astype(np.float32)),
-        obs_cam=jnp.asarray(rng.integers(0, C, O).astype(np.int32)),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(rng.integers(0, C, Osolve).astype(np.int32)),
         obs_point=jnp.asarray(obs_point),
-        obs_uv=jnp.asarray(rng.uniform(0, 1024, (O, 2)).astype(np.float32)),
-        obs_w=jnp.ones(O, jnp.float32),
+        obs_uv=jnp.asarray(rng.uniform(0, 1024, (Osolve, 2)).astype(np.float32)),
+        obs_w=jnp.ones(Osolve, jnp.float32),
         cam_fixed=jnp.asarray(np.arange(C) == 0),
         point_fixed=jnp.zeros(P, bool),
         point_align=256,
     )
-
-
-def run_one(C):
-    import jax
-    import jax.numpy as jnp
-
-    from sfm_tpu.config import BAConfig
-    from sfm_tpu.ba import core
-    from sfm_tpu.kernels import schur_spmv
-
-    # O scales with C but is capped to keep the sweep under a few minutes.
-    P = min(C * 16, 131072)
-    obs_per = 8
-    O = P * obs_per
-    tile = schur_spmv.matvec_tile(C, 256)
-    print(f"C={C} P={P} O={O} tile={tile}", flush=True)
-    assert tile > 0 and O % tile == 0
-
-    cfg = BAConfig(robust_loss="huber", max_iterations=2, cg_iterations=8,
+    cfg = BAConfig(max_iterations=3, cg_iterations=8, robust_loss="huber",
                    dense_schur_max_cameras=0)
-    prob = make_problem(0, C, P, obs_per)
-    lam = jnp.asarray(1e-3, jnp.float32)
-
-    # The NE build must happen INSIDE the jit: _NormalEq.mv_tile is a
-    # trace-time Python int (the static kernel gate), and round-tripping
-    # the ne pytree through a jit boundary would turn it into a tracer.
-    def build_ne(p, use_kernel):
-        ne = core.build_normal_equations(p, p.cam_params, p.points, lam, cfg)
-        if not use_kernel:
-            ne = ne._replace(mv_tile=0, mv_big_tile=0)
-        return ne
-
-    @partial(jax.jit, static_argnames=("use_kernel",))
-    def mv_once(p, v0, use_kernel):
-        ne = build_ne(p, use_kernel)
-        return core._schur_matvec(ne, p, v0, use_kernel=use_kernel)
-
-    rng = np.random.default_rng(5)
-    v = jnp.asarray(rng.normal(size=(C, 6)).astype(np.float32))
-
     t0 = time.perf_counter()
-    y_k = np.asarray(mv_once(prob, v, True))
-    compile_s = time.perf_counter() - t0
-    y_r = np.asarray(mv_once(prob, v, False))
-    scale = max(np.abs(y_r).max(), 1.0)
-    rel = float(np.abs(y_k - y_r).max() / scale)
-    print(f"  matvec rel err {rel:.2e} (compile {compile_s:.1f}s)", flush=True)
-    assert rel < 3e-5, rel
-
-    # Timing: 16 matvecs inside one jit (amortizes the tunnel).
-    @partial(jax.jit, static_argnames=("use_kernel",))
-    def mv16(p, v0, use_kernel):
-        ne = build_ne(p, use_kernel)
-
-        def body(_, x):
-            return core._schur_matvec(ne, p, x, use_kernel=use_kernel) / (
-                jnp.linalg.norm(x) + 1e-20)
-        return jnp.sum(jax.lax.fori_loop(0, 16, body, v0))
-
-    times = {}
-    for name, uk in (("kernel", True), ("xla", False)):
-        fn = lambda v0, uk=uk: mv16(prob, v0, uk)
-        _ = np.asarray(fn(v))
-        ts = []
-        for r in range(3):
-            vv = jnp.asarray(np.random.default_rng(r).normal(size=(C, 6)).astype(np.float32))
-            jax.block_until_ready(vv)
-            t0 = time.perf_counter()
-            _ = np.asarray(fn(vv))
-            ts.append((time.perf_counter() - t0) / 16 * 1000)
-        times[name] = sorted(ts)[1]
-        print(f"  {name} matvec: {times[name]:.2f} ms", flush=True)
-
-    # Full-solve parity: kernels on vs all off (same problem, same config).
-    out_k, st_k = core.bundle_adjust(make_problem(1, C, P, obs_per), cfg)
-    ck = float(st_k.final_cost)
-    os.environ["SFM_TPU_BA_DISABLE_KERNELS"] = "1"
-    try:
-        out_r, st_r = core.bundle_adjust(make_problem(1, C, P, obs_per), cfg)
-    finally:
-        del os.environ["SFM_TPU_BA_DISABLE_KERNELS"]
-    cr = float(st_r.final_cost)
-    dp = float(np.abs(np.asarray(out_k.cam_params) - np.asarray(out_r.cam_params)).max())
-    cost_rel = abs(ck - cr) / max(abs(cr), 1e-12)
-    print(f"  solve parity: cost {ck:.6g} vs {cr:.6g} (rel {cost_rel:.2e}), "
-          f"max param delta {dp:.2e}", flush=True)
-    assert cost_rel < 1e-3, (ck, cr)
-    assert dp < 5e-3, dp
-
-    return dict(C=C, P=P, O=O, tile=tile,
-                matvec_rel_err=rel,
-                matvec_kernel_ms=round(times["kernel"], 3),
-                matvec_xla_ms=round(times["xla"], 3),
-                solve_cost_rel=cost_rel, solve_param_delta=dp,
-                backend="tpu", ok=True)
+    out, stats = core.bundle_adjust(prob, cfg)
+    ci, cf = float(stats.initial_cost), float(stats.final_cost)
+    dt = time.perf_counter() - t0
+    print(f"solve C={C} O={Osolve}: cost {ci:.4g} -> {cf:.4g} in {dt:.0f}s "
+          f"(incl. compile)", flush=True)
+    assert np.isfinite(cf) and cf <= ci
+    assert np.isfinite(np.asarray(out.cam_params)).all()
+    return dict(C=C, O=Osolve, solve_cost_initial=ci, solve_cost_final=cf,
+                solve_s=round(dt, 1), backend="tpu", ok=True, kind="solve")
 
 
 def main():
     import jax
 
     assert jax.default_backend() == "tpu", "parity proof must run on the real chip"
-    Cs = [int(a) for a in sys.argv[1:]] or [2304, 4096, 10240, 16384]
+    Cs = [int(x) for x in sys.argv[1:]] or [2304, 4096, 10240, 16384]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "matvec_parity.jsonl")
     for C in Cs:
         row = run_one(C)
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    if os.environ.get("MATVEC_PARITY_SOLVE", "1") != "0":
+        row = run_solve_proof()
         with open(path, "a") as f:
             f.write(json.dumps(row) + "\n")
     print("all OK", flush=True)

@@ -163,6 +163,15 @@ class EngineConfig:
     # these rounds consolidate them and re-solve centers+points against the
     # longer tracks (pipeline/global_engine.py).
     global_refine_rounds: int = 3
+    # Geometric track SPLITTING inside the consolidation rounds (0 disables):
+    # observations breaking consensus with their track's current point by
+    # more than this many px detach into new candidate points instead of
+    # being dropped. The round-4 study measured ~54% of union-find tracks
+    # gluing fragments of DIFFERENT physical points (no conflict evidence
+    # exists at union time); only geometry can separate them, and with
+    # clean tracks the same polish reaches 0.27% vs 1.58% center RMSE
+    # (NOTES.md round-4).
+    split_tracks_px: float = 4.0
 
 
 @dataclass(frozen=True)

@@ -761,10 +761,18 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
     Cp = -(-C // L) * L
     n_hi = Cp // L
     v8 = jnp.zeros((8, Cp), jnp.float32).at[:6, :C].set(v.T)
-    t0 = v8.astype(jnp.bfloat16).astype(jnp.float32)
+    # bf16 rounding via reduce_precision, NOT astype round-trips: outside
+    # Pallas, XLA:TPU's excess-precision folding simplifies
+    # convert(convert(x, bf16), f32) to x, which silently collapses this
+    # 3-term split to a single bf16 truncation (measured: matvec rel err
+    # 1.6e-3 vs the 1e-7 interpret/fp32 grade; the residual of the astype
+    # round-trip compiled to literal zero). reduce_precision is semantic
+    # rounding and cannot be folded; the kernel's later astype(bf16) of
+    # each term is then exact.
+    t0 = jax.lax.reduce_precision(v8, 8, 7)
     r1 = v8 - t0
-    t1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    t2 = (r1 - t1).astype(jnp.bfloat16).astype(jnp.float32)
+    t1 = jax.lax.reduce_precision(r1, 8, 7)
+    t2 = jax.lax.reduce_precision(r1 - t1, 8, 7)
     vb = (jnp.concatenate([t0, t1, t2], axis=0)        # [24, Cp], rows (term, feat)
           .reshape(24, n_hi, L).transpose(1, 0, 2).reshape(n_hi * 24, L))
     acc = pl.pallas_call(

@@ -121,29 +121,46 @@ def global_reconstruct(
     # same robust solve, same capacity bucketing, same sharded dispatch).
     _merged_polish(rec, cfg)
 
-    # Fuse -> reposition -> retriangulate -> polish rounds: raw union-find
-    # tracks are fragmented (build_tracks cuts same-image keypoint
-    # conflicts), and fragments carry no long-range constraint, so both the
-    # ray objective and BA are nearly flat along low-frequency bends. Vote
-    # fusion (verified correspondences whose endpoints landed in different
-    # points) reconnects fragments; the bend is low-frequency, so fragment
-    # copies of one physical point are locally CLOSE and a generous
-    # distance gate on the first round is safe. Each round then re-solves
-    # centers+points against the consolidated (longer) tracks.
-    from sfm_tpu.pipeline.merge import merge_tracks_by_correspondence
+    # Graduated consolidation rounds (the round-4 study's prescription:
+    # geometric verification is the only discriminator that works —
+    # NOTES.md round-4): raw union-find tracks are BOTH fragmented
+    # (build_tracks cuts same-image keypoint conflicts; fragments carry no
+    # long-range constraint, so the ray objective and BA are nearly flat
+    # along low-frequency bends) AND contaminated (~54% glue temporally
+    # disjoint fragments of different physical points with zero conflict
+    # evidence at union time). Each round, at the current — improving —
+    # geometry: SPLIT observations that break consensus with their track
+    # into new candidate points, FUSE fragments by correspondence votes
+    # (generous distance gate first round, tight after) and by the
+    # quality-preserving proximity gate, then re-solve centers+points and
+    # polish against the consolidated tracks. Converges when a round
+    # changes nothing (the zero-change re-solve churn measurably erodes a
+    # polished model: RMSE 1.17 -> 3.74 on the 512-orbit diag).
+    from sfm_tpu.pipeline.merge import (
+        merge_tracks_by_correspondence, merge_tracks_by_proximity,
+        split_tracks_by_consensus,
+    )
 
     for rnd in range(cfg.engine.global_refine_rounds):
-        n_fused = merge_tracks_by_correspondence(
+        n_changed = 0
+        if cfg.engine.split_tracks_px > 0:
+            P0 = len(rec.points)
+            n_split = split_tracks_by_consensus(
+                rec, max_px=cfg.engine.split_tracks_px, verbose=cfg.verbose)
+            if n_split:
+                # Place the detached fragments before any merge looks at
+                # their 3D positions (they inherit the contaminated
+                # track's point until re-triangulated).
+                retriangulate_reconstruction(
+                    rec, cfg=cfg, only_points=np.arange(P0, len(rec.points)))
+            n_changed += n_split
+        n_changed += merge_tracks_by_correspondence(
             rec, graph, min_votes=2,
             dist_frac=0.15 if rnd == 0 else 0.05, verbose=cfg.verbose)
-        if n_fused == 0:
-            # Nothing consolidated -> the reposition/retriangulate churn
-            # below would only erode the polished model (measured on the
-            # 512-orbit diag: RMSE 1.17 -> 3.74, points 9249 -> 410 when
-            # round 0 ran with zero fusions). Union-find already consumed
-            # every correspondence on the full graph, so votes only exist
-            # after partitioned reconstruction; proximity fusion is the
-            # full-graph consolidation path.
+        n_changed += merge_tracks_by_proximity(
+            rec, max_px=cfg.engine.max_reprojection_error_px,
+            verbose=cfg.verbose)
+        if n_changed == 0:
             break
         reposition_reconstruction(rec, verbose=cfg.verbose)
         retriangulate_reconstruction(rec, cfg=cfg)

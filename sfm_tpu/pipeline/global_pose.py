@@ -1306,7 +1306,8 @@ def straighten_reconstruction(rec, graph, cfg=None, verbose: bool = False,
 
 def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16,
                                  max_error_px: float | None = None,
-                                 min_angle_deg: float | None = None) -> int:
+                                 min_angle_deg: float | None = None,
+                                 only_points: np.ndarray | None = None) -> int:
     """Re-DLT every valid point from its observations at the CURRENT poses
     (in place; device-batched). Tracks longer than max_views use an evenly
     strided view subset — DLT conditioning saturates long before that.
@@ -1331,7 +1332,14 @@ def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16,
     op = rec.obs_point[order]
     starts = np.searchsorted(op, np.arange(len(rec.points)), side="left")
     ends = np.searchsorted(op, np.arange(len(rec.points)), side="right")
-    pids = np.where(rec.point_valid & (ends - starts >= 2))[0]
+    sel_mask = rec.point_valid & (ends - starts >= 2)
+    if only_points is not None:
+        # Restricted mode (e.g. placing freshly split-off fragments):
+        # untouched points keep their position AND validity.
+        m = np.zeros(len(rec.points), bool)
+        m[only_points] = True
+        sel_mask &= m
+    pids = np.where(sel_mask)[0]
     if len(pids) == 0:
         return 0
     # Bucket-pad both axes (T to a power of two, V to a multiple of 4):
@@ -1374,5 +1382,6 @@ def retriangulate_reconstruction(rec, cfg=None, max_views: int = 16,
     ok = np.asarray(tri.valid)[:len(pids)]
     rec.points[pids] = pts
     rec.point_valid[pids] = ok
-    rec.point_valid[np.setdiff1d(np.where(rec.point_valid)[0], pids)] = False
+    if only_points is None:
+        rec.point_valid[np.setdiff1d(np.where(rec.point_valid)[0], pids)] = False
     return int(ok.sum())

@@ -406,12 +406,31 @@ def _polish_phase(
         # filter threshold), which adds exactly the long-range rigidity the
         # next BA needs; straightening brings farther copies under the gate.
         # Converges when a round fuses nothing.
+        from sfm_tpu.pipeline.global_pose import retriangulate_reconstruction
+        from sfm_tpu.pipeline.merge import split_tracks_by_consensus
+
         for _ in range(cfg.partition.refine_rounds):
-            # Correspondence votes first (2D evidence: fusing extends track
-            # spans, which exposes NEW cross-point votes on the same edges
-            # next round — transitive closure over rounds), then geometric
-            # proximity for copies whose images were never matched.
+            # Split contaminated tracks first (observations breaking
+            # geometric consensus detach into new candidate points — the
+            # round-4 study's 54%-contamination finding; merges on polluted
+            # tracks average unrelated structure). Then correspondence
+            # votes (2D evidence: fusing extends track spans, which exposes
+            # NEW cross-point votes on the same edges next round —
+            # transitive closure over rounds), then geometric proximity for
+            # copies whose images were never matched.
             n_fused = 0
+            if cfg.engine.split_tracks_px > 0:
+                P0 = len(merged.points)
+                n_split = split_tracks_by_consensus(
+                    merged, max_px=cfg.engine.split_tracks_px,
+                    verbose=cfg.verbose)
+                if n_split:
+                    # Place only the fresh fragments; untouched points keep
+                    # their polished positions/validity.
+                    retriangulate_reconstruction(
+                        merged, cfg=cfg,
+                        only_points=np.arange(P0, len(merged.points)))
+                n_fused += n_split
             if cfg.partition.merge_tracks_min_votes > 0:
                 n_fused += merge_tracks_by_correspondence(
                     merged, graph, min_votes=cfg.partition.merge_tracks_min_votes,
