@@ -237,6 +237,19 @@ class PartitionConfig:
                                         # retriangulate — removes the low-frequency
                                         # cluster-chain bend that reprojection-only
                                         # BA cannot see (10k postmortem)
+    id_merge: bool = True               # transitive-identity consolidation in the
+                                        # refine rounds (merge_tracks_by_track_id):
+                                        # fuse merged points whose observations
+                                        # share a majority FULL-graph union-find
+                                        # track id. Closes the cross-cluster
+                                        # fragmentation that direct correspondence
+                                        # votes cannot (single-digit voted pairs vs
+                                        # ~15x-short tracks at 512, r5 study).
+    id_merge_rel_factor: float = 3.0    # union-reprojection gate for id merges:
+    id_merge_floor_px: float = 2.0      # generous relative to the proximity gate
+    id_merge_max_px: float = 8.0        # — 2D identity evidence is strong, and
+                                        # sub-blob features hold distinct ids by
+                                        # the union-find's same-image conflict cut.
 
 
 @dataclass(frozen=True)

@@ -79,6 +79,37 @@ def _dot_split(x: jnp.ndarray, onehot: jnp.ndarray, dims, nterms: int = 3):
     return acc
 
 
+def _paged_take(tab, ids):
+    """In-kernel table gather out[f, t] = tab[f, ids[0, t]] without a [C, T]
+    one-hot dot: Mosaic's tpu.dynamic_gather is strictly single-vreg (lane
+    gathers only within one (8, 128) register), so the gather is tiled into
+    128-lane output chunks and the table into 128-lane pages — per chunk, a
+    within-page gather + page-id select accumulates over pages. VPU-only:
+    ~4 vreg-ops per (chunk, page) = 4*T*C/16384 ops per tile, vs the one-hot
+    MXU dot's 24*C*T MACs (the whole matvec cost at C >= 4096 — measured
+    92 ms/matvec at C=4096/O=4.2M, ~16x over its own C=1024 rate). The
+    gather is fp32-EXACT, so the 3-term bf16 split (and its
+    reduce_precision guard) disappears from the gather side entirely.
+
+    tab must be [8, Cp] with Cp a multiple of 128; ids [1, T] int32 with
+    T a multiple of 128. Returns [8, T] fp32.
+    """
+    F, Cp = tab.shape
+    T = ids.shape[1]
+    assert F == 8 and Cp % 128 == 0 and T % 128 == 0
+    out_chunks = []
+    for j in range(T // 128):
+        idx = jnp.broadcast_to(ids[:, j * 128:(j + 1) * 128], (8, 128))
+        lane = jax.lax.bitwise_and(idx, 127)
+        page = jax.lax.shift_right_logical(idx, 7)
+        acc = jnp.zeros((8, 128), tab.dtype)
+        for p in range(Cp // 128):
+            part = jnp.take_along_axis(tab[:, p * 128:(p + 1) * 128], lane, axis=1)
+            acc = jnp.where(page == p, part, acc)
+        out_chunks.append(acc)
+    return jnp.concatenate(out_chunks, axis=1)
+
+
 def _rot_cols(wx, wy, wz, a, b):
     """Entries of I + a*[w]x + b*[w]x^2 as nine [1,T] row vectors."""
     t2 = wx * wx + wy * wy + wz * wz
@@ -89,7 +120,45 @@ def _rot_cols(wx, wy, wz, a, b):
     )
 
 
-def _ne_tile_rows(robust_loss, robust_scale, cams, intr, pts, st):
+def _project_rows(cams, intr, pts, st):
+    """Shared closed-form projection for one observation tile (all inputs
+    feature-major [rows, T]): Rodrigues rotation, perspective division,
+    polynomial distortion, residual. Returns the intermediates the NE
+    payload body needs plus the camera-frame depth xc2 (the z-floor gate
+    reads it in-kernel — no separate _obs_depths pass over O)."""
+    wx, wy, wz = cams[0:1], cams[1:2], cams[2:3]
+    tx, ty, tz = cams[3:4], cams[4:5], cams[5:6]
+    fx, fy, cx, cy, k1, k2 = (intr[i:i + 1] for i in range(6))
+    px, py, pz = pts[0:1], pts[1:2], pts[2:3]
+    u_obs, v_obs = st[0:1], st[1:2]
+
+    t2 = wx * wx + wy * wy + wz * wz
+    th = jnp.sqrt(jnp.maximum(t2, 1e-24))
+    small = t2 < 1e-8
+    sin_t, cos_t = jnp.sin(th), jnp.cos(th)
+    A = jnp.where(small, 1.0 - t2 / 6.0, sin_t / th)               # sin/t
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - cos_t) / t2)      # (1-cos)/t^2
+    C2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (th - sin_t) / (t2 * th))
+
+    R = _rot_cols(wx, wy, wz, A, B)
+    (r00, r01, r02, r10, r11, r12, r20, r21, r22) = R
+    xc0 = r00 * px + r01 * py + r02 * pz + tx
+    xc1 = r10 * px + r11 * py + r12 * pz + ty
+    xc2 = r20 * px + r21 * py + r22 * pz + tz
+
+    z = jnp.where(jnp.abs(xc2) < 1e-8, jnp.where(xc2 < 0, -1e-8, 1e-8), xc2)
+    inv_z = 1.0 / z
+    x = xc0 * inv_z
+    y = xc1 * inv_z
+    r2 = x * x + y * y
+    s = 1.0 + r2 * (k1 + r2 * k2)
+    ru = fx * (x * s) + cx - u_obs                             # residual
+    rv = fy * (y * s) + cy - v_obs
+    return (ru, rv, xc2, x, y, r2, s, inv_z, R, (wx, wy, wz), (B, C2),
+            (fx, fy, k1, k2), (px, py, pz))
+
+
+def _ne_tile_rows(robust_loss, robust_scale, cams, intr, pts, st, zf=None):
     """Shared fused-NE tile body: closed-form residual + Jacobian payload
     rows for one observation tile, all inputs feature-major [rows, T].
 
@@ -110,36 +179,16 @@ def _ne_tile_rows(robust_loss, robust_scale, cams, intr, pts, st):
     def col(arr, i):
         return arr[i:i + 1, :]                                 # [1, T]
 
-    wx, wy, wz = col(cams, 0), col(cams, 1), col(cams, 2)
-    tx, ty, tz = col(cams, 3), col(cams, 4), col(cams, 5)
-    fx, fy, cx, cy, k1, k2 = (col(intr, i) for i in range(6))
-    px, py, pz = col(pts, 0), col(pts, 1), col(pts, 2)
-    u_obs, v_obs = col(st, 0), col(st, 1)
     w_obs, cam_free, pt_free = col(st, 2), col(st, 3), col(st, 4)
-
-    # Rodrigues + right Jacobian coefficients with Taylor guards at theta=0.
-    t2 = wx * wx + wy * wy + wz * wz
-    th = jnp.sqrt(jnp.maximum(t2, 1e-24))
-    small = t2 < 1e-8
-    sin_t, cos_t = jnp.sin(th), jnp.cos(th)
-    A = jnp.where(small, 1.0 - t2 / 6.0, sin_t / th)               # sin/t
-    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - cos_t) / t2)      # (1-cos)/t^2
-    C2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (th - sin_t) / (t2 * th))
-
-    R = _rot_cols(wx, wy, wz, A, B)                            # 9 x [T,1]
+    (ru, rv, xc2, x, y, r2, s, inv_z, R, (wx, wy, wz), (B, C2),
+     (fx, fy, k1, k2), (px, py, pz)) = _project_rows(cams, intr, pts, st)
     (r00, r01, r02, r10, r11, r12, r20, r21, r22) = R
-    xc0 = r00 * px + r01 * py + r02 * pz + tx
-    xc1 = r10 * px + r11 * py + r12 * pz + ty
-    xc2 = r20 * px + r21 * py + r22 * pz + tz
-
-    z = jnp.where(jnp.abs(xc2) < 1e-8, jnp.where(xc2 < 0, -1e-8, 1e-8), xc2)
-    inv_z = 1.0 / z
-    x = xc0 * inv_z
-    y = xc1 * inv_z
-    r2 = x * x + y * y
-    s = 1.0 + r2 * (k1 + r2 * k2)
-    ru = fx * (x * s) + cx - u_obs                             # residual
-    rv = fy * (y * s) + cy - v_obs
+    if zf is not None:
+        # Near-plane gate at the CURRENT parameters (ba/core z_floor): the
+        # depth is already in-register here, so the former separate
+        # _obs_depths pass (an [O]-wide XLA gather+projection per NE build)
+        # folds into the tile body.
+        w_obs = jnp.where(xc2 > zf, w_obs, 0.0)
 
     # M = diag(f) @ D_dist @ A_proj  (rows m0*, m1* of the [2,3] chain).
     dsc = (k1 + 2.0 * k2 * r2) * 2.0
@@ -212,11 +261,14 @@ def _pad_rows(rows, total, like):
 
 
 def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
-                     camt_ref, intrt_ref, w_out_ref, yp_out_ref, camred_ref, acc_ref):
+                     camt_ref, intrt_ref, zf_ref, w_out_ref, yp_out_ref,
+                     camred_ref, acc_ref):
     """One observation tile with in-kernel camera handling (C <= _MAX_CAMS):
-    camera/intrinsic rows are gathered via the [C, T] one-hot on the MXU and
-    the camera payload is reduced straight into the [48, C] VMEM accumulator
-    — it never touches HBM. See _ne_tile_rows for the math."""
+    camera/intrinsic rows are gathered by the paged VPU dynamic-gather
+    (_paged_take — fp32-exact, no C-proportional MXU cost) and the camera
+    payload is reduced via the [C, T] one-hot straight into the [48, C]
+    VMEM accumulator — it never touches HBM. See _ne_tile_rows for the
+    math."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -227,10 +279,18 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
     T = ids_ref.shape[1]
     ids = ids_ref[:]                                           # [1, T]
     onehot_t = (ids == jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)).astype(jnp.bfloat16)
-    cams = _dot_split(camt_ref[:], onehot_t, (((1,), (0,)), ((), ())))     # [8, T]
-    intr = _dot_split(intrt_ref[:], onehot_t, (((1,), (0,)), ((), ())))    # [8, T]
+    if T % 128 == 0:
+        cams = _paged_take(camt_ref[:], ids)                   # [8, T]
+        intr = _paged_take(intrt_ref[:], ids)                  # [8, T]
+    else:
+        # Small/ragged tiles (O < 1024 problems): single-vreg dynamic-gather
+        # needs 128-lane chunks, so fall back to the one-hot MXU gather —
+        # C is small in this regime and the dot is cheap.
+        cams = _dot_split(camt_ref[:, :C], onehot_t, (((1,), (0,)), ((), ())))
+        intr = _dot_split(intrt_ref[:, :C], onehot_t, (((1,), (0,)), ((), ())))
     cam_rows, w_rows, yp_rows = _ne_tile_rows(
-        robust_loss, robust_scale, cams, intr, pts_ref[:], static_ref[:]
+        robust_loss, robust_scale, cams, intr, pts_ref[:], static_ref[:],
+        zf=zf_ref[0, 0],
     )
     like = cam_rows[0]
     payload_t = _pad_rows(cam_rows, _CAMRED_COLS, like)        # [48, T]
@@ -245,7 +305,8 @@ def _fused_ne_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
 
 
 def _fused_ne_kernel_big(robust_loss, robust_scale, pts_ref, static_ref,
-                         cams_ref, intr_ref, w_out_ref, yp_out_ref, cam_out_ref):
+                         cams_ref, intr_ref, zf_ref, w_out_ref, yp_out_ref,
+                         cam_out_ref):
     """Large-C variant: no [C, T] one-hot fits in VMEM past ~2048 cameras,
     so camera/intrinsic rows arrive PRE-GATHERED per observation (an XLA
     gather outside the kernel — gathers parallelize fine on TPU; it is the
@@ -254,7 +315,8 @@ def _fused_ne_kernel_big(robust_loss, robust_scale, pts_ref, static_ref,
     reduction (ba/core._cam_reduce_sorted). C never appears in a kernel
     shape, so this lowers identically at C = 10^4 or 10^6."""
     cam_rows, w_rows, yp_rows = _ne_tile_rows(
-        robust_loss, robust_scale, cams_ref[:], intr_ref[:], pts_ref[:], static_ref[:]
+        robust_loss, robust_scale, cams_ref[:], intr_ref[:], pts_ref[:],
+        static_ref[:], zf=zf_ref[0, 0],
     )
     like = cam_rows[0]
     cam_out_ref[:] = _pad_rows(cam_rows, _CAMRED_COLS, like)
@@ -272,6 +334,7 @@ def fused_ne_payloads(
     num_cameras: int,
     robust_loss: str,
     robust_scale: float,
+    z_floor: jnp.ndarray | None = None,
     interpret: bool = False,
 ):
     """Returns (W_t [24,O], Yp_t [16,O], cam_red [C,48]) — see _fused_ne_kernel.
@@ -279,6 +342,8 @@ def fused_ne_payloads(
     Everything stays feature-major ([rows, obs]); callers build static_t once
     per solve (it is LM-iteration-invariant) and only refresh pts_t per
     iteration. W_t's first 18 rows feed schur_coupling_matvec directly.
+    z_floor (scalar): near-plane depth gate applied in-kernel at the current
+    parameters (None = no gate).
     """
     O = obs_cam.shape[0]
     C = num_cameras
@@ -288,6 +353,7 @@ def fused_ne_payloads(
     T = 1024 if C <= 512 else (512 if C <= 1024 else 256)
     T = min(T, O)
     assert O % T == 0, "observation capacity must be a multiple of the tile"
+    Cp = -(-C // 128) * 128                  # paged-gather table width
     grid = (O // T,)
     kern = partial(_fused_ne_kernel, robust_loss, robust_scale)
     w_t, yp_t, camred_t = pl.pallas_call(
@@ -297,8 +363,9 @@ def fused_ne_payloads(
             pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((_PTS_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((_STATIC_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((_W_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -316,8 +383,10 @@ def fused_ne_payloads(
         obs_cam.astype(jnp.int32)[None, :],
         pts_t,
         static_t,
-        cam_tab.T,
-        intr_tab.T,
+        jnp.zeros((8, Cp), cam_tab.dtype).at[:, :C].set(cam_tab.T),
+        jnp.zeros((8, Cp), intr_tab.dtype).at[:, :C].set(intr_tab.T),
+        jnp.full((1, 1), -jnp.inf, jnp.float32) if z_floor is None
+        else jnp.asarray(z_floor, jnp.float32).reshape(1, 1),
     )
     return w_t, yp_t, camred_t.T
 
@@ -330,6 +399,7 @@ def fused_ne_payloads_big(
     intr_t: jnp.ndarray,         # [8, O] pre-gathered intrinsics
     robust_loss: str,
     robust_scale: float,
+    z_floor: jnp.ndarray | None = None,
     interpret: bool = False,
 ):
     """Large-C fused NE: returns (W_t [24,O], Yp_t [16,O], cam_payload [48,O]).
@@ -351,6 +421,7 @@ def fused_ne_payloads_big(
             pl.BlockSpec((_STATIC_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((_W_COLS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -363,8 +434,126 @@ def fused_ne_payloads_big(
             jax.ShapeDtypeStruct((_CAMRED_COLS, O), jnp.float32),
         ],
         interpret=interpret,
-    )(pts_t, static_t, cams_t, intr_t)
+    )(pts_t, static_t, cams_t, intr_t,
+      jnp.full((1, 1), -jnp.inf, jnp.float32) if z_floor is None
+      else jnp.asarray(z_floor, jnp.float32).reshape(1, 1))
     return w_t, yp_t, cam_t
+
+
+def _cost_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
+                 camt_ref, intrt_ref, zf_ref, out_ref):
+    """Per-tile robustified cost + weight partial sums (VERDICT r4 next #4:
+    the XLA compute_cost was [O,8] row-gather bound — 38 ms at O=1M for ~3 ms
+    of math). Cameras/intrinsics arrive via the paged VPU dynamic-gather;
+    the near-plane z-gate folds in (no separate _obs_depths pass). Emits
+    [cost_sum, w_sum] per observation tile; the caller reduces the [8, G]
+    columns."""
+    from sfm_tpu.geometry.losses import robust_cost
+
+    ids = ids_ref[:]
+    cams = _paged_take(camt_ref[:], ids)
+    intr = _paged_take(intrt_ref[:], ids)
+    st = static_ref[:]
+    ru, rv, xc2 = _project_rows(cams, intr, pts_ref[:], st)[:3]
+    w = jnp.where(xc2 > zf_ref[0, 0], st[2:3], 0.0)
+    c = robust_cost(ru * ru + rv * rv, robust_loss, robust_scale) * w
+    out_ref[0, 0] = jnp.sum(c)
+    out_ref[1, 0] = jnp.sum(w)
+    out_ref[2:, 0] = jnp.zeros((6,), jnp.float32)
+
+
+def _cost_kernel_big(robust_loss, robust_scale, pts_ref, static_ref,
+                     cams_ref, intr_ref, zf_ref, out_ref):
+    """Large-C cost tile: cameras pre-gathered per observation (XLA), same
+    math as _cost_kernel."""
+    from sfm_tpu.geometry.losses import robust_cost
+
+    st = static_ref[:]
+    ru, rv, xc2 = _project_rows(cams_ref[:], intr_ref[:], pts_ref[:], st)[:3]
+    w = jnp.where(xc2 > zf_ref[0, 0], st[2:3], 0.0)
+    c = robust_cost(ru * ru + rv * rv, robust_loss, robust_scale) * w
+    out_ref[0, 0] = jnp.sum(c)
+    out_ref[1, 0] = jnp.sum(w)
+    out_ref[2:, 0] = jnp.zeros((6,), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("num_cameras", "robust_loss", "robust_scale", "interpret"))
+def fused_cost_sums(
+    obs_cam: jnp.ndarray,        # [O] int32
+    pts_t: jnp.ndarray,          # [4, O] feature-major gathered point xyz
+    static_t: jnp.ndarray,       # [8, O] rows: u, v, w, ...
+    cam_tab: jnp.ndarray,        # [C, 8]
+    intr_tab: jnp.ndarray,       # [C, 8]
+    num_cameras: int,
+    robust_loss: str,
+    robust_scale: float,
+    z_floor: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sum_o cost_o * w_o, sum_o w_o) with the z-floor gate in-kernel."""
+    O = obs_cam.shape[0]
+    C = num_cameras
+    Cp = -(-C // 128) * 128
+    T = min(2048, O)
+    assert O % T == 0 and T % 128 == 0
+    kern = partial(_cost_kernel, robust_loss, robust_scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(O // T,),
+        in_specs=[
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PTS_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATIC_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 1), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, O // T), jnp.float32),
+        interpret=interpret,
+    )(
+        obs_cam.astype(jnp.int32)[None, :], pts_t, static_t,
+        jnp.zeros((8, Cp), jnp.float32).at[:, :C].set(cam_tab.T),
+        jnp.zeros((8, Cp), jnp.float32).at[:, :C].set(intr_tab.T),
+        jnp.full((1, 1), -jnp.inf, jnp.float32) if z_floor is None
+        else jnp.asarray(z_floor, jnp.float32).reshape(1, 1),
+    )
+    return jnp.sum(out[0]), jnp.sum(out[1])
+
+
+@partial(jax.jit, static_argnames=("robust_loss", "robust_scale", "interpret"))
+def fused_cost_sums_big(
+    pts_t: jnp.ndarray,          # [4, O]
+    static_t: jnp.ndarray,       # [8, O]
+    cams_t: jnp.ndarray,         # [8, O] pre-gathered
+    intr_t: jnp.ndarray,         # [8, O] pre-gathered
+    robust_loss: str,
+    robust_scale: float,
+    z_floor: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Large-C variant of fused_cost_sums (no C-shaped VMEM block)."""
+    O = pts_t.shape[1]
+    T = min(2048, O)
+    assert O % T == 0 and T % 128 == 0
+    kern = partial(_cost_kernel_big, robust_loss, robust_scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(O // T,),
+        in_specs=[
+            pl.BlockSpec((_PTS_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATIC_ROWS, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 1), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, O // T), jnp.float32),
+        interpret=interpret,
+    )(pts_t, static_t, cams_t, intr_t,
+      jnp.full((1, 1), -jnp.inf, jnp.float32) if z_floor is None
+      else jnp.asarray(z_floor, jnp.float32).reshape(1, 1))
+    return jnp.sum(out[0]), jnp.sum(out[1])
 
 
 def _whw_kernel(ids_ref, w_ref, hinv_ref, out_ref, acc_ref):
@@ -561,12 +750,11 @@ def matvec_tile(num_cameras: int, point_align: int) -> int:
 
     Must be a multiple of the problem's point_align (so no point segment
     straddles a tile), large enough for MXU efficiency, and small enough
-    that the two-level VMEM residents fit: the [L,T] lo one-hot, the [T,T]
-    local-point pair indicator, the [n_hi*24, T] gather/scatter staging and
-    the [n_hi*24, L] blocked v/accumulator. With the two-level camera
-    indexing nothing scales with full C on the T axis, so the in-kernel
-    path now covers the 10k-polish C=16384 regime that used to fall back
-    to the XLA big path (92 ms/matvec at C=4096 vs ~a few in-kernel).
+    that the VMEM residents fit: the [8, Cp] fp32 v table (paged-gather
+    source), the [L,T] lo one-hot and [n_hi*24, T] staging of the
+    two-level SCATTER, the [T,T] local-point pair indicator, and the
+    [n_hi*24, L] blocked accumulator. The gather side is the paged VPU
+    dynamic-gather (_paged_take) — no [C, T] one-hot, no gather staging.
     Returns 0 when the kernel is not usable; past _MV_MAX_CAMS the big
     variant (matvec_tile_big) applies instead.
     """
@@ -576,8 +764,8 @@ def matvec_tile(num_cameras: int, point_align: int) -> int:
     n_hi = -(-num_cameras // L)
     T = max(512, point_align)
     while T >= max(256, point_align):
-        vmem = (12 * T * T + 10 * L * T + 150 * n_hi * T
-                + 200 * n_hi * L + (1 << 20))
+        vmem = (12 * T * T + 4 * L * T + 100 * n_hi * T
+                + 250 * n_hi * L + (1 << 20))
         if vmem <= 14 * (1 << 20):
             return T
         T //= 2
@@ -598,7 +786,7 @@ def matvec_tile_big(point_align: int) -> int:
     return T
 
 
-def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, vb_ref,
+def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, v8_ref,
                            out_ref, acc_ref):
     """One observation tile of the implicit Schur coupling term
     (W Hpp^-1 W^T v), the hot op of every PCG iteration (ba/core.py):
@@ -606,16 +794,16 @@ def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, vb_ref,
       u_o = W_o^T v[cam_o];  g_p = sum_{o in p} u_o;  h_p = Hpp_p^-1 g_p
       out_c = sum_{o in c} W_o h_{p(o)}
 
-    Camera indexing is TWO-LEVEL: cam = hi * L + lo with L <= 512. A flat
-    [C, T] camera one-hot costs C*T VPU ops to generate and (C/128)(T/128)
-    MXU passes per dot — both linear in C, which is what killed the
-    in-kernel path past C = 2048. Here only the [L, T] LO one-hot feeds the
-    MXU; the HI level is n_hi = C/L cheap [1, T] mask compares with a
-    VPU masked accumulate over 24-row blocks, so per-tile cost is nearly
-    C-independent (the 10k-polish C = 16384 stays in-kernel). v arrives
-    pre-blocked by the wrapper as [n_hi*24, L] fp32 — rows are
-    (hi, bf16-split term, camera feature) — and the accumulator leaves in
-    the same layout for the wrapper's term-sum.
+    The camera GATHER (v[cam_o]) is a paged VPU dynamic-gather from the
+    [8, Cp] fp32 table resident in VMEM (_paged_take): exact, and free of
+    the 24*C*T-MAC one-hot dot that made the gather half of this kernel
+    scale linearly in C (C=4096: 92 ms/matvec, 16x the C=1024 per-obs
+    rate). The SCATTER half stays a TWO-LEVEL one-hot MXU reduction
+    (cam = hi * L + lo, L <= 512): bf16-split y hi-masked into an
+    [n_hi*24, T] block stack, one [*, T] @ [T, L] dot into the blocked
+    VMEM accumulator — scatter-add has no VPU dual (Mosaic has no
+    dynamic_scatter), so the MXU indicator dot remains the right tool, at
+    half the previous total MAC count.
 
     The point segment-sum-broadcast is one dot against the [T,T] TILE-LOCAL
     same-point PAIR indicator P[o1,o2] = [point(o1) == point(o2)] — valid
@@ -630,23 +818,15 @@ def _schur_coupling_kernel(ids_ref, lids_ref, lidc_ref, w_ref, hinv_ref, vb_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     T = ids_ref.shape[1]
-    L = vb_ref.shape[1]
-    n_hi = vb_ref.shape[0] // 24
+    L = acc_ref.shape[1]
+    n_hi = acc_ref.shape[0] // 24
     ids = ids_ref[:]
     ids_lo = jax.lax.bitwise_and(ids, L - 1)
     ids_hi = jax.lax.shift_right_logical(ids, L.bit_length() - 1)
     oh_lo = (ids_lo == jax.lax.broadcasted_iota(jnp.int32, (L, T), 0)).astype(jnp.bfloat16)
     masks = [(ids_hi == h) for h in range(n_hi)]                           # [1, T]
 
-    # Gather v[cam_o]: lo-level dot for ALL hi blocks at once, then hi-mask.
-    A = jax.lax.dot_general(vb_ref[:].astype(jnp.bfloat16), oh_lo,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT)           # [n_hi*24, T]
-    v24 = masks[0].astype(jnp.float32) * A[0:24]
-    for h in range(1, n_hi):
-        v24 = v24 + masks[h].astype(jnp.float32) * A[h * 24:(h + 1) * 24]
-    v_obs = v24[0:8] + v24[8:16] + v24[16:24]                              # [8, T]
+    v_obs = _paged_take(v8_ref[:], ids)                                    # [8, T] exact
     w = w_ref[:]                                                           # [18, T]
 
     def W(i, k):
@@ -751,9 +931,11 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
     lids [O] (point id minus the first point id of the observation's tile).
     tile must come from matvec_tile() and divide O.
 
-    v is pre-split (3-term bf16) and pre-blocked into the kernel's
-    two-level [n_hi*24, L] layout here — tiny XLA ops on a [24, C] array,
-    once per matvec (see _schur_coupling_kernel).
+    v enters as a plain [8, Cp] fp32 table (zero-padded rows/columns): the
+    in-kernel paged dynamic-gather is exact, so the gather-side 3-term bf16
+    split (and its reduce_precision anti-folding guard) no longer exists.
+    The SCATTER half still leaves in the blocked [n_hi*24, L] bf16-split
+    layout; the term-sum happens here.
     """
     O = w_t.shape[1]
     C = v.shape[0]
@@ -761,20 +943,6 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
     Cp = -(-C // L) * L
     n_hi = Cp // L
     v8 = jnp.zeros((8, Cp), jnp.float32).at[:6, :C].set(v.T)
-    # bf16 rounding via reduce_precision, NOT astype round-trips: outside
-    # Pallas, XLA:TPU's excess-precision folding simplifies
-    # convert(convert(x, bf16), f32) to x, which silently collapses this
-    # 3-term split to a single bf16 truncation (measured: matvec rel err
-    # 1.6e-3 vs the 1e-7 interpret/fp32 grade; the residual of the astype
-    # round-trip compiled to literal zero). reduce_precision is semantic
-    # rounding and cannot be folded; the kernel's later astype(bf16) of
-    # each term is then exact.
-    t0 = jax.lax.reduce_precision(v8, 8, 7)
-    r1 = v8 - t0
-    t1 = jax.lax.reduce_precision(r1, 8, 7)
-    t2 = jax.lax.reduce_precision(r1 - t1, 8, 7)
-    vb = (jnp.concatenate([t0, t1, t2], axis=0)        # [24, Cp], rows (term, feat)
-          .reshape(24, n_hi, L).transpose(1, 0, 2).reshape(n_hi * 24, L))
     acc = pl.pallas_call(
         _schur_coupling_kernel,
         grid=(O // tile,),
@@ -784,13 +952,13 @@ def schur_coupling_matvec(obs_cam: jnp.ndarray, lids: jnp.ndarray, w_t: jnp.ndar
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((18, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_hi * 24, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n_hi * 24, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_hi * 24, L), jnp.float32),
         scratch_shapes=[pltpu.VMEM((n_hi * 24, L), jnp.float32)],
         interpret=interpret,
     )(obs_cam.astype(jnp.int32)[None, :], lids.astype(jnp.int32)[None, :],
-      lids.astype(jnp.int32)[:, None], w_t, hinv_t, vb)
+      lids.astype(jnp.int32)[:, None], w_t, hinv_t, v8)
     out = acc.reshape(n_hi, 3, 8, L).sum(axis=1).transpose(1, 0, 2).reshape(8, Cp)
     return out[:6, :C].T

@@ -556,6 +556,182 @@ def _project_np(
     return xy * intr[:, :2] + intr[:, 2:4], z
 
 
+def _union_reproj_gate(
+    rec: Reconstruction, pa: np.ndarray, pb: np.ndarray,
+    rel_factor: float, floor_px: float, max_px: float, gate_obs_cap: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Quality-preserving union-reprojection gate over candidate point pairs.
+
+    For each pair, the observation-count-weighted merged position must
+    reproject into EACH side's observations (per-side gate: a long healthy
+    track must not vote down its own absorption of a short bad one) with
+    mean error within min(max_px, max(rel_factor x the sides' current worst
+    per-side fit, floor_px)). Cheirality hard-fails a side. Returns
+    (indices into pa/pb that pass, per-pair worst mean error).
+
+    Rationale for the relative gate: two arc-copies of the SAME physical
+    point and two DISTINCT sub-blob features can sit at the same 3D
+    separation (the 10k blob scene: child splats subtend ~2.6px, the same
+    range as residual cluster-alignment drift), so an absolute max_px gate
+    fuses distinct features and bakes in irreducible ~d/2 residuals
+    (observed: 2048-ladder refine rounds ended at 2.15px mean reprojection
+    vs 0.56px unrefined). The relative gate only accepts fusions the
+    current geometry certifies as near-lossless.
+    """
+    pv = rec.point_valid
+    # Per-point observation index (sorted-by-point rows, capped per track).
+    val_rows = np.where(pv[rec.obs_point])[0]
+    order = val_rows[np.argsort(rec.obs_point[val_rows], kind="stable")]
+    op_sorted = rec.obs_point[order]
+    starts = np.searchsorted(op_sorted, np.arange(len(rec.points)))
+    counts = np.bincount(op_sorted, minlength=len(rec.points))
+    cap_counts = np.minimum(counts, gate_obs_cap)
+
+    def _side_rows(pids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Observation rows (into rec.obs_*) for each pair's side + the pair
+        index of every row. Long tracks are strided down to gate_obs_cap."""
+        c = cap_counts[pids]
+        total = int(c.sum())
+        pair_of_row = np.repeat(np.arange(len(pids)), c)
+        # Within-pair offsets 0..c-1 without a Python loop.
+        off = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+        stride = np.maximum(counts[pids] // np.maximum(c, 1), 1)
+        rows = order[starts[pids][pair_of_row] + off * stride[pair_of_row]]
+        return rows, pair_of_row
+
+    # Merged candidate position: observation-count-weighted mean.
+    w_a = counts[pa].astype(np.float64)[:, None]
+    w_b = counts[pb].astype(np.float64)[:, None]
+    m_pos = (w_a * rec.points[pa] + w_b * rec.points[pb]) / np.maximum(w_a + w_b, 1e-9)
+
+    R_all = _so3_exp_np(rec.rvecs)
+    side_err, side_pre = [], []
+    for pids in (pa, pb):
+        rows, pair_of_row = _side_rows(pids)
+        img = rec.obs_image[rows]
+        Rv, tv, Kv, uv = R_all[img], rec.tvecs[img], rec.intrinsics[img], rec.obs_uv[rows]
+        nobs = np.maximum(np.bincount(pair_of_row, minlength=len(pa)), 1)
+        proj, depth = _project_np(m_pos[pair_of_row], Rv, tv, Kv)
+        err = np.linalg.norm(proj - uv, axis=1)
+        # Cheirality: a merged position behind any observing camera fails
+        # the pair outright (finite-pixel sign-flip projections must not
+        # average into an acceptable mean error).
+        err = np.where(depth > 0, err, np.inf)
+        side_err.append(np.bincount(pair_of_row, weights=err, minlength=len(pa)) / nobs)
+        # Each side's CURRENT fit (its own position over the same rows):
+        # the baseline for the quality-preservation gate below.
+        proj0, depth0 = _project_np(rec.points[pids][pair_of_row], Rv, tv, Kv)
+        err0 = np.linalg.norm(proj0 - uv, axis=1)
+        err0 = np.where(depth0 > 0, err0, np.inf)
+        side_pre.append(np.bincount(pair_of_row, weights=err0, minlength=len(pa)) / nobs)
+    worst = np.maximum(side_err[0], side_err[1])
+    baseline = np.minimum(np.maximum(side_pre[0], side_pre[1]), max_px)
+    gate = np.minimum(max_px, np.maximum(rel_factor * baseline, floor_px))
+    return np.where(worst <= gate)[0], worst
+
+
+def merge_tracks_by_track_id(
+    rec: Reconstruction, graph, num_images: int, max_kp: int,
+    rel_factor: float = 3.0, floor_px: float = 2.0, max_px: float = 8.0,
+    gate_obs_cap: int = 64, verbose: bool = False, tracks=None,
+    exclude: set | None = None,
+) -> int:
+    """Consolidate cross-cluster duplicate points by TRANSITIVE match-graph
+    identity (full-graph union-find track ids), the missing closure of
+    merge_tracks_by_correspondence (SURVEY.md §2.5/§2.7 track merging).
+
+    Direct correspondence votes require a verified edge whose two endpoint
+    keypoints BOTH survived into the merged model as observations — at 512
+    images that yields single-digit voted pairs while mean track length
+    sits ~15x below the oracle (the r4 consolidation study's gap). Identity
+    through the FULL match graph's union-find is transitive: cluster A's
+    copy and cluster B's copy of one physical blob link through chains of
+    correspondences, including keypoints no cluster retained. Each merged
+    point maps to the majority global-track-id of its observations; points
+    sharing a majority id are fused into the group's best-observed member,
+    gated by the union-reprojection check (generous settings — the 2D
+    identity evidence is strong; sub-blob features are naturally excluded
+    because the dup-tolerant union-find CUTS same-image keypoint conflicts,
+    giving distinct sub-blob detections distinct global ids).
+
+    `tracks` (a TrackSet) can be passed to reuse one full-graph union-find
+    across refine rounds. Mutates rec; returns absorbed-point count.
+    """
+    from sfm_tpu.scene.tracks import build_tracks
+
+    if tracks is None:
+        tracks = build_tracks(graph, num_images, max_kp)
+    if tracks.num_tracks == 0:
+        return 0
+
+    # (image, kp) -> global track id lookup.
+    kb = (tracks.obs_image.astype(np.int64) << 32) | tracks.obs_kp.astype(np.int64)
+    order = np.argsort(kb, kind="stable")
+    kb_s, gid_s = kb[order], tracks.track_id[order]
+
+    pv = rec.point_valid
+    val_rows = np.where(pv[rec.obs_point])[0]
+    if len(val_rows) == 0 or len(kb_s) == 0:
+        return 0
+    ko = (rec.obs_image[val_rows].astype(np.int64) << 32) | rec.obs_kp[val_rows].astype(np.int64)
+    pos = np.minimum(np.searchsorted(kb_s, ko), len(kb_s) - 1)
+    hit = kb_s[pos] == ko
+    gids = np.where(hit, gid_s[pos], -1)
+    pids = rec.obs_point[val_rows].astype(np.int64)
+
+    m = gids >= 0
+    if not m.any():
+        return 0
+    T = int(tracks.num_tracks)
+    pg = pids[m] * (T + 1) + gids[m]
+    key, cnt = np.unique(pg, return_counts=True)
+    k_pid, k_gid = key // (T + 1), key % (T + 1)
+    # Majority gid per point: sort by (pid, count), keep the last per pid.
+    o = np.lexsort((cnt, k_pid))
+    pid_o, gid_o = k_pid[o], k_gid[o]
+    last = np.r_[pid_o[1:] != pid_o[:-1], True]
+    maj_pid, maj_gid = pid_o[last], gid_o[last]
+
+    # Group points by majority gid; fuse each group into its best-observed
+    # member (star topology: every accepted pair shares the group root, so
+    # one call cannot chain-collapse through unchecked transitive unions).
+    counts_obs = np.bincount(rec.obs_point[val_rows], minlength=len(rec.points))
+    og = np.lexsort((counts_obs[maj_pid], maj_gid))
+    g_srt, p_srt = maj_gid[og], maj_pid[og]
+    new_grp = np.r_[True, g_srt[1:] != g_srt[:-1]]
+    grp_id = np.cumsum(new_grp) - 1
+    # Root = last member of each group in (gid, obs-count) order.
+    grp_last = np.r_[new_grp[1:], True]
+    roots = np.zeros(grp_id[-1] + 1, np.int64)
+    roots[grp_id[grp_last]] = p_srt[grp_last]
+    member = ~grp_last
+    if not member.any():
+        return 0
+    pb = p_srt[member]
+    pa = roots[grp_id[member]]
+    if exclude:
+        # (parent, fragment) pairs a consensus split created: the fragment
+        # inherits the parent's global id, so id identity alone must not
+        # re-glue what geometry just separated.
+        pk = (np.minimum(pa, pb) << 32) | np.maximum(pa, pb)
+        keep = ~np.isin(pk, np.fromiter(exclude, np.int64, len(exclude)))
+        pa, pb = pa[keep], pb[keep]
+        if len(pa) == 0:
+            return 0
+
+    acc, worst = _union_reproj_gate(rec, pa, pb, rel_factor, floor_px,
+                                    max_px, gate_obs_cap)
+    if len(acc) == 0:
+        return 0
+    n = _apply_point_merges(rec, pa[acc], pb[acc])
+    if verbose and n:
+        print(f"[sfm_tpu] track-id merge: absorbed {n} duplicate points "
+              f"({len(pa)} id-linked pairs, {len(acc)} passed the union-"
+              f"reprojection gate [{rel_factor:.1f}x fit, floor "
+              f"{floor_px:.1f}px, cap {max_px:.1f}px])")
+    return n
+
+
 def merge_tracks_by_proximity(
     rec: Reconstruction, max_px: float = 6.0, knn: int = 8,
     radius_frac: float = 0.35, gate_obs_cap: int = 64, verbose: bool = False,
@@ -619,69 +795,8 @@ def merge_tracks_by_proximity(
     pa = ids[(pair_key >> 32).astype(np.int64)]
     pb = ids[(pair_key & 0xFFFFFFFF).astype(np.int64)]
 
-    # Per-point observation index (sorted-by-point rows, capped per track).
-    val_rows = np.where(pv[rec.obs_point])[0]
-    order = val_rows[np.argsort(rec.obs_point[val_rows], kind="stable")]
-    op_sorted = rec.obs_point[order]
-    starts = np.searchsorted(op_sorted, np.arange(len(rec.points)))
-    counts = np.bincount(op_sorted, minlength=len(rec.points))
-    cap_counts = np.minimum(counts, gate_obs_cap)
-
-    def _side_rows(pids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Observation rows (into rec.obs_*) for each pair's side + the pair
-        index of every row. Long tracks are strided down to gate_obs_cap."""
-        c = cap_counts[pids]
-        total = int(c.sum())
-        pair_of_row = np.repeat(np.arange(len(pids)), c)
-        # Within-pair offsets 0..c-1 without a Python loop.
-        off = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
-        stride = np.maximum(counts[pids] // np.maximum(c, 1), 1)
-        rows = order[starts[pids][pair_of_row] + off * stride[pair_of_row]]
-        return rows, pair_of_row
-
-    # Merged candidate position: observation-count-weighted mean.
-    w_a = counts[pa].astype(np.float64)[:, None]
-    w_b = counts[pb].astype(np.float64)[:, None]
-    m_pos = (w_a * rec.points[pa] + w_b * rec.points[pb]) / np.maximum(w_a + w_b, 1e-9)
-
-    R_all = _so3_exp_np(rec.rvecs)
-    side_err, side_pre = [], []
-    for pids in (pa, pb):
-        rows, pair_of_row = _side_rows(pids)
-        img = rec.obs_image[rows]
-        Rv, tv, Kv, uv = R_all[img], rec.tvecs[img], rec.intrinsics[img], rec.obs_uv[rows]
-        nobs = np.maximum(np.bincount(pair_of_row, minlength=len(pa)), 1)
-        proj, depth = _project_np(m_pos[pair_of_row], Rv, tv, Kv)
-        err = np.linalg.norm(proj - uv, axis=1)
-        # Cheirality: a merged position behind any observing camera fails
-        # the pair outright (finite-pixel sign-flip projections must not
-        # average into an acceptable mean error).
-        err = np.where(depth > 0, err, np.inf)
-        side_err.append(np.bincount(pair_of_row, weights=err, minlength=len(pa)) / nobs)
-        # Each side's CURRENT fit (its own position over the same rows):
-        # the baseline for the quality-preservation gate below.
-        proj0, depth0 = _project_np(rec.points[pids][pair_of_row], Rv, tv, Kv)
-        err0 = np.linalg.norm(proj0 - uv, axis=1)
-        err0 = np.where(depth0 > 0, err0, np.inf)
-        side_pre.append(np.bincount(pair_of_row, weights=err0, minlength=len(pa)) / nobs)
-    worst = np.maximum(side_err[0], side_err[1])
-    # Quality-preservation gate: a fusion may not degrade the union's fit
-    # beyond rel_factor x the tracks' CURRENT worst fit (floor_px absolute
-    # floor, max_px absolute cap). Rationale: two arc-copies of the SAME
-    # physical point and two DISTINCT sub-blob features can sit at the same
-    # 3D separation (the 10k blob scene: child splats subtend ~2.6px, the
-    # same range as residual cluster-alignment drift), so an absolute
-    # max_px gate fuses distinct features and bakes in irreducible ~d/2
-    # residuals (observed: 2048-ladder refine rounds ended at 2.15px mean
-    # reprojection vs 0.56px unrefined). The relative gate only accepts
-    # fusions the current geometry certifies as near-lossless; cross-arc
-    # copies displaced farther than that are fused by correspondence VOTES
-    # (2D evidence, merge_tracks_by_correspondence over the densified
-    # graph), and each BA round shrinks the displacement so proximity picks
-    # up the remainder over the refine iterations.
-    baseline = np.minimum(np.maximum(side_pre[0], side_pre[1]), max_px)
-    gate = np.minimum(max_px, np.maximum(rel_factor * baseline, floor_px))
-    acc = np.where(worst <= gate)[0]
+    acc, worst = _union_reproj_gate(rec, pa, pb, rel_factor, floor_px,
+                                    max_px, gate_obs_cap)
     if len(acc) == 0:
         return 0
 
@@ -710,7 +825,7 @@ def merge_tracks_by_proximity(
 
 def split_tracks_by_consensus(
     rec: Reconstruction, max_px: float = 4.0, min_keep: int = 2,
-    verbose: bool = False,
+    verbose: bool = False, split_log: list | None = None,
 ) -> int:
     """Break CONTAMINATED tracks by geometric consensus at the current poses
     (the round-4 consolidation study's binding constraint: on the 512-orbit
@@ -766,6 +881,11 @@ def split_tracks_by_consensus(
 
     rec.obs_point = rec.obs_point.copy()
     rec.obs_point[detach] = new_of_old[old_pid].astype(np.int32)
+    if split_log is not None:
+        # (parent, fragment) pairs — callers exclude them from id-based
+        # re-fusion (the fragment's observations still carry the parent's
+        # global track id; re-fusing would undo the geometric evidence).
+        split_log.append((affected.copy(), P0 + np.arange(len(affected))))
     n_det = int(detach.sum())
     if verbose:
         print(f"[sfm_tpu] track split: detached {n_det} obs from "

@@ -407,7 +407,19 @@ def _polish_phase(
         # next BA needs; straightening brings farther copies under the gate.
         # Converges when a round fuses nothing.
         from sfm_tpu.pipeline.global_pose import retriangulate_reconstruction
-        from sfm_tpu.pipeline.merge import split_tracks_by_consensus
+        from sfm_tpu.pipeline.merge import (
+            merge_tracks_by_track_id, split_tracks_by_consensus,
+        )
+
+        # Full-graph union-find built once and reused across refine rounds
+        # (the transitive-identity evidence is geometry-independent; only
+        # the gate's acceptance changes as the model straightens).
+        id_tracks = None
+        no_refuse: set = set()
+        if cfg.partition.id_merge:
+            from sfm_tpu.scene.tracks import build_tracks
+            id_tracks = build_tracks(graph, len(merged.registered),
+                                     feats.xy.shape[1])
 
         for _ in range(cfg.partition.refine_rounds):
             # Split contaminated tracks first (observations breaking
@@ -421,9 +433,14 @@ def _polish_phase(
             n_fused = 0
             if cfg.engine.split_tracks_px > 0:
                 P0 = len(merged.points)
+                split_log: list = []
                 n_split = split_tracks_by_consensus(
                     merged, max_px=cfg.engine.split_tracks_px,
-                    verbose=cfg.verbose)
+                    verbose=cfg.verbose, split_log=split_log)
+                for par, frag in split_log:
+                    lo = np.minimum(par, frag).astype(np.int64)
+                    hi = np.maximum(par, frag).astype(np.int64)
+                    no_refuse.update(((lo << 32) | hi).tolist())
                 if n_split:
                     # Place only the fresh fragments; untouched points keep
                     # their polished positions/validity.
@@ -431,6 +448,17 @@ def _polish_phase(
                         merged, cfg=cfg,
                         only_points=np.arange(P0, len(merged.points)))
                 n_fused += n_split
+            if id_tracks is not None:
+                # Transitive identity first: it carries the long-range
+                # fusions (cross-cluster copies linked through keypoints no
+                # cluster retained) that votes and proximity cannot see.
+                n_fused += merge_tracks_by_track_id(
+                    merged, graph, len(merged.registered), feats.xy.shape[1],
+                    rel_factor=cfg.partition.id_merge_rel_factor,
+                    floor_px=cfg.partition.id_merge_floor_px,
+                    max_px=cfg.partition.id_merge_max_px,
+                    verbose=cfg.verbose, tracks=id_tracks, exclude=no_refuse,
+                )
             if cfg.partition.merge_tracks_min_votes > 0:
                 n_fused += merge_tracks_by_correspondence(
                     merged, graph, min_votes=cfg.partition.merge_tracks_min_votes,

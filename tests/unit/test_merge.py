@@ -152,6 +152,103 @@ def test_merge_tracks_by_correspondence():
     assert rec.mean_reprojection_error() < 0.5
 
 
+def _mock_graph(edges, W=16):
+    """MatchGraph from [(img_i, img_j, [(kp_i, kp_j), ...]), ...]."""
+    from sfm_tpu.pipeline.stages import MatchGraph
+
+    E = len(edges)
+    pairs = np.zeros((E, 2), np.int32)
+    idx_i = np.zeros((E, W), np.int32)
+    idx_j = np.zeros((E, W), np.int32)
+    inlier = np.zeros((E, W), bool)
+    for e, (i, j, kps) in enumerate(edges):
+        pairs[e] = (i, j)
+        for m, (ki, kj) in enumerate(kps):
+            idx_i[e, m], idx_j[e, m], inlier[e, m] = ki, kj, True
+    return MatchGraph(
+        pairs=pairs, idx_i=idx_i, idx_j=idx_j, inlier=inlier,
+        num_inliers=inlier.sum(1).astype(np.int32),
+        num_h_inliers=np.zeros(E, np.int32),
+        rvec=np.zeros((E, 3), np.float32), tvec=np.zeros((E, 3), np.float32),
+        ok=np.ones(E, bool),
+    )
+
+
+def test_merge_tracks_by_track_id_transitive():
+    """Transitive-identity consolidation (merge.py, r5): two fragments of one
+    physical point whose retained observations share NO direct verified edge
+    — the link runs through an intermediate image's keypoint that no cluster
+    kept — must fuse via the full-graph union-find id; direct-correspondence
+    voting finds nothing on the same graph. A contaminated id gluing two
+    DISTINCT far-apart points must be rejected by the union-reprojection
+    gate."""
+    from sfm_tpu.pipeline.merge import (
+        merge_tracks_by_correspondence, merge_tracks_by_track_id,
+    )
+
+    scene = make_orbit_scene(num_cameras=8, num_points=40, noise_px=0.0, seed=44)
+    rec = scene_to_reconstruction(scene)
+    M = scene.num_points
+    vis_all = np.where(scene.visible.all(0))[0]
+    p_dup, p_a, p_b = int(vis_all[0]), int(vis_all[1]), int(vis_all[2])
+    assert np.linalg.norm(scene.points[p_a] - scene.points[p_b]) > 0.1
+
+    # Fragment p_dup: images >= 4 move to a twin id M at +0.01 offset.
+    obs_point = rec.obs_point.copy()
+    obs_point[(rec.obs_point == p_dup) & (rec.obs_image >= 4)] = M
+    rec.obs_point = obs_point
+    rec.points = np.concatenate(
+        [rec.points, scene.points[p_dup][None] + 0.01]).astype(np.float32)
+    rec.point_valid = np.concatenate([rec.point_valid, np.ones(1, bool)])
+    rec.point_errors = np.zeros(len(rec.points), np.float32)
+
+    # Transitive chain through image 2's keypoint 999 (NOT an observation of
+    # any model point): (1, p_dup) ~ (2, 999) ~ (5, p_dup). Plus a
+    # contaminated chain gluing distinct p_a and p_b the same way.
+    graph = _mock_graph([
+        (1, 2, [(p_dup, 999)]),
+        (2, 5, [(999, p_dup)]),
+        (1, 2, [(p_a, 998)]),
+        (2, 5, [(998, p_b)]),
+    ], W=1024)
+
+    # Direct votes: no edge has BOTH endpoints in the model -> nothing.
+    assert merge_tracks_by_correspondence(rec, graph, min_votes=1) == 0
+
+    n = merge_tracks_by_track_id(rec, graph, scene.num_cameras, 1024)
+    assert n == 1, n
+    # The duplicate fused...
+    assert not (rec.point_valid[p_dup] and rec.point_valid[M])
+    # ...and the contaminated id did NOT glue the two distinct points.
+    assert rec.point_valid[p_a] and rec.point_valid[p_b]
+    assert rec.mean_reprojection_error() < 1.0
+
+
+def test_merge_tracks_by_track_id_respects_exclusions():
+    """(parent, fragment) pairs from a consensus split must not re-fuse."""
+    from sfm_tpu.pipeline.merge import merge_tracks_by_track_id
+
+    scene = make_orbit_scene(num_cameras=8, num_points=40, noise_px=0.0, seed=45)
+    rec = scene_to_reconstruction(scene)
+    M = scene.num_points
+    vis_all = np.where(scene.visible.all(0))[0]
+    p = int(vis_all[0])
+    obs_point = rec.obs_point.copy()
+    obs_point[(rec.obs_point == p) & (rec.obs_image >= 4)] = M
+    rec.obs_point = obs_point
+    rec.points = np.concatenate(
+        [rec.points, scene.points[p][None] + 0.01]).astype(np.float32)
+    rec.point_valid = np.concatenate([rec.point_valid, np.ones(1, bool)])
+    rec.point_errors = np.zeros(len(rec.points), np.float32)
+    graph = _mock_graph([(1, 5, [(p, p)])], W=1024)
+
+    excl = {(np.int64(min(p, M)) << 32) | np.int64(max(p, M))}
+    assert merge_tracks_by_track_id(
+        rec, graph, scene.num_cameras, 1024, exclude=excl) == 0
+    assert merge_tracks_by_track_id(
+        rec, graph, scene.num_cameras, 1024) == 1
+
+
 def test_synchronize_sim3_closes_the_loop():
     """Four overlapping arcs around a full orbit, each perturbed by a random
     sim3: synchronization must place every cluster back so the fused model
