@@ -331,7 +331,7 @@ _STAGE_CONFIG_SCOPE = {
     "features": ("sift",),
     "matches": ("sift", "match", "vocab", "ransac", "pair_mode", "seed"),
     "reconstruction": ("sift", "match", "vocab", "ransac", "ba", "engine",
-                       "partition", "pair_mode", "seed"),
+                       "partition", "pair_mode", "engine_mode", "seed"),
 }
 
 

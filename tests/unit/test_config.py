@@ -74,3 +74,11 @@ def test_stage_config_hash_scoping():
     cosmetic = dataclasses.replace(cfg, verbose=not cfg.verbose, artifact_dir="/tmp/x")
     for stage in ("features", "matches", "reconstruction"):
         assert stage_config_hash(cfg, stage) == stage_config_hash(cosmetic, stage)
+
+    # engine_mode MUST key the reconstruction artifact: a global and an
+    # incremental run sharing an artifact dir would otherwise serve each
+    # other's cached reconstruction (r5 regression — the 512 A/B's
+    # incremental row came back bit-identical to the global row's).
+    global_mode = dataclasses.replace(cfg, engine_mode="global")
+    assert stage_config_hash(cfg, "matches") == stage_config_hash(global_mode, "matches")
+    assert stage_config_hash(cfg, "reconstruction") != stage_config_hash(global_mode, "reconstruction")
