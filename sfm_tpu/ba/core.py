@@ -45,7 +45,7 @@ from sfm_tpu.ba.problem import BAProblem, CAM_DIM, PT_DIM
 
 def _kernels_disabled() -> frozenset:
     """Debug/bisection hook: SFM_TPU_BA_DISABLE_KERNELS is a comma list of
-    {ne, ne_big, whw, whw_big, mv, mv_big} — each named kernel gate then
+    {ne, ne_big, whw, whw_big, mv, mv_big, cost} — each named kernel gate then
     evaluates False and the XLA fallback path runs instead. Used to isolate
     TPU-worker faults to a specific fused kernel (benchmarks/polish_repro.py).
 
@@ -239,15 +239,59 @@ def _rot_entries(wx, wy, wz, a, b):
     )
 
 
+def _use_cost_kernel(prob: BAProblem, cam_params, axis_name) -> bool:
+    """Static gate for the fused cost kernel (schur_spmv.fused_cost_sums):
+    the XLA path is [O, 8] row-gather bound (VERDICT r4 next #4 — 38 ms at
+    O=1M for ~3 ms of math) and it runs 1-2x per LM iteration."""
+    O = prob.obs_w.shape[0]
+    return (
+        axis_name is None
+        and "cost" not in _kernels_disabled()
+        and cam_params.shape[-1] == CAM_DIM
+        and (O % 2048 == 0 or (O < 2048 and O % 128 == 0))
+        and jax.default_backend() == "tpu"
+    )
+
+
 def compute_cost(prob: BAProblem, cam_params: jnp.ndarray, points: jnp.ndarray, cfg: BAConfig, axis_name=None,
-                 z_floor: jnp.ndarray | None = None) -> jnp.ndarray:
+                 z_floor: jnp.ndarray | None = None,
+                 static_t: jnp.ndarray | None = None) -> jnp.ndarray:
     """Robustified mean cost over valid observations.
 
     z_floor: optional near-plane depth floor — observations whose
     camera-frame depth at THESE parameters is at/below it are excluded,
     matching the NE assembly's gate (see _SolveInvariants.z_floor) so the
     LM accept test compares the same objective the step minimized.
+    static_t: optional [8, O] fused-kernel static rows (uv/w), reused from
+    _SolveInvariants inside the LM loop.
     """
+    if _use_cost_kernel(prob, cam_params, axis_name):
+        from sfm_tpu.kernels import schur_spmv
+
+        C = prob.num_cameras
+        O = prob.obs_w.shape[0]
+        if static_t is None:
+            static_t = _ne_static_misc(prob)
+        pts_t = jnp.concatenate(
+            [jnp.take(points.T, prob.obs_point, axis=1), jnp.zeros((1, O), jnp.float32)],
+            axis=0,
+        )
+        pad = jnp.zeros((C, 2), jnp.float32)
+        if C <= schur_spmv._MAX_CAMS:
+            num, den = schur_spmv.fused_cost_sums(
+                prob.obs_cam, pts_t, static_t,
+                jnp.concatenate([cam_params, pad], axis=1),
+                jnp.concatenate([prob.intrinsics, pad], axis=1),
+                C, cfg.robust_loss, cfg.robust_scale_px, z_floor=z_floor,
+            )
+        else:
+            cams_t = jnp.concatenate([cam_params, pad], axis=1).T[:, prob.obs_cam]
+            intr_t = jnp.concatenate([prob.intrinsics, pad], axis=1).T[:, prob.obs_cam]
+            num, den = schur_spmv.fused_cost_sums_big(
+                pts_t, static_t, cams_t, intr_t,
+                cfg.robust_loss, cfg.robust_scale_px, z_floor=z_floor,
+            )
+        return num / jnp.maximum(den, 1.0)
     cams_o = cam_params[prob.obs_cam]
     pts_o = points[prob.obs_point]
     intr_o = prob.intrinsics[prob.obs_cam]
@@ -408,7 +452,8 @@ def _ne_static_misc(prob: BAProblem) -> jnp.ndarray:
 
 
 def _ne_blocks_fused(prob: BAProblem, cam_params, points, cfg: BAConfig,
-                     static_t: jnp.ndarray | None = None):
+                     static_t: jnp.ndarray | None = None,
+                     z_floor: jnp.ndarray | None = None):
     """(Hcc, Hpp, W_t [18,O], bc, bp) via the fused Pallas kernel:
     residual+Jacobian blocks formed per observation tile in VMEM, camera side
     reduced on the MXU (one-hot matmul), point side emitted as compact
@@ -432,7 +477,7 @@ def _ne_blocks_fused(prob: BAProblem, cam_params, points, cfg: BAConfig,
         prob.obs_cam, pts_t, static_t,
         jnp.concatenate([cam_params, pad], axis=1),
         jnp.concatenate([prob.intrinsics, pad], axis=1),
-        C, cfg.robust_loss, cfg.robust_scale_px,
+        C, cfg.robust_loss, cfg.robust_scale_px, z_floor=z_floor,
     )
     Hcc = camred[:, :36].reshape(C, 6, 6)
     bc = camred[:, 36:42]
@@ -469,6 +514,7 @@ def _ne_blocks_fused_big(prob: BAProblem, cam_params, points, cfg: BAConfig,
     intr_t = jnp.concatenate([prob.intrinsics, pad], axis=1).T[:, prob.obs_cam]
     Wf_t, Yp_t, cam_pay = fused_ne_payloads_big(
         pts_t, static_t, cams_t, intr_t, cfg.robust_loss, cfg.robust_scale_px,
+        z_floor=inv.z_floor,
     )
     camred = _cam_reduce_sorted(cam_pay[:42].T, inv.cam_perm, inv.cam_bounds)  # [C, 42]
     Hcc = camred[:, :36].reshape(C, 6, 6)
@@ -559,24 +605,25 @@ def build_normal_equations(prob: BAProblem, cam_params, points, lam, cfg: BAConf
     P = prob.num_points
     if inv is None:
         inv = _solve_invariants(prob, cam_params, cfg, axis_name)
-    if inv.z_floor is not None:
+    use_f = _use_fused_ne(prob, cam_params, axis_name)
+    use_fb = _use_fused_ne_big(prob, cam_params, axis_name)
+    if inv.z_floor is not None and not (use_f or use_fb):
         # Near-plane gate at the CURRENT parameters (see _SolveInvariants).
-        # The XLA paths read prob.obs_w via sqrt_w folding; the fused NE
-        # kernels read the weight from static_t row 2 (baked once per solve
-        # by _ne_static_misc), so that row is refreshed with the gated
-        # weights as well.
+        # The fused NE kernels apply this gate IN-KERNEL (the depth is
+        # already in-register there — no separate [O]-wide _obs_depths
+        # pass); the XLA paths read prob.obs_w via sqrt_w folding, so gate
+        # the weights here.
         z = _obs_depths(prob, cam_params, points)
         w_gated = jnp.where(z > inv.z_floor, prob.obs_w, 0.0)
         prob = prob._replace(obs_w=w_gated)
-        if inv.static_t is not None:
-            inv = inv._replace(static_t=inv.static_t.at[2].set(w_gated))
     W_t = None
-    if _use_fused_ne(prob, cam_params, axis_name):
+    if use_f:
         Hcc, Hpp, W_t, bc, bp = _ne_blocks_fused(prob, cam_params, points, cfg,
-                                                 static_t=inv.static_t)
+                                                 static_t=inv.static_t,
+                                                 z_floor=inv.z_floor)
         O = W_t.shape[1]
         W = W_t.T.reshape(O, 6, 3)
-    elif _use_fused_ne_big(prob, cam_params, axis_name):
+    elif use_fb:
         Hcc, Hpp, W_t, bc, bp = _ne_blocks_fused_big(prob, cam_params, points, cfg, inv)
         O = W_t.shape[1]
         # W stays FEATURE-MAJOR on the large-C path: materializing [O, 6, 3]
@@ -929,8 +976,9 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
     )
     z_floor = 1e-3 * jnp.maximum(z_rms, 1e-9)
 
+    inv = _solve_invariants(prob, prob.cam_params, cfg, axis_name)._replace(z_floor=z_floor)
     cost0 = compute_cost(prob, prob.cam_params, prob.points, cfg, axis_name,
-                         z_floor=z_floor)
+                         z_floor=z_floor, static_t=inv.static_t)
 
     def cond(state):
         _, _, lam, it, done, _ = state
@@ -950,8 +998,6 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
         and prob.num_cameras <= cfg.dense_schur_max_cameras
         and prob.num_cameras * n_obs <= (4 << 20)
     )
-
-    inv = _solve_invariants(prob, prob.cam_params, cfg, axis_name)._replace(z_floor=z_floor)
 
     def body(state):
         cam_params, points, lam, it, _, cost = state
@@ -975,7 +1021,7 @@ def bundle_adjust_impl(prob: BAProblem, cfg: BAConfig, axis_name=None) -> tuple[
         new_cams = cam_params + dc
         new_points = points + dp
         new_cost = compute_cost(prob, new_cams, new_points, cfg, axis_name,
-                                z_floor=z_floor)
+                                z_floor=z_floor, static_t=inv.static_t)
 
         accept = new_cost < cost
         cam_params = jnp.where(accept, new_cams, cam_params)

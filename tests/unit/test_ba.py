@@ -160,6 +160,93 @@ def test_fused_pallas_ne_matches_xla_path():
     close(bp_f, bp, "bp")
 
 
+def test_fused_cost_sums_matches_xla():
+    """The fused cost kernel (paged dynamic-gather cameras + in-kernel
+    z-floor gate) must reproduce the XLA compute_cost, with and without the
+    near-plane gate (VERDICT r4 next #4 cost-eval lever). Interpret mode
+    off-TPU."""
+    import jax as _jax
+    from sfm_tpu.ba import core
+    from sfm_tpu.kernels import schur_spmv
+
+    scene = make_orbit_scene(num_cameras=8, num_points=256, noise_px=0.5, seed=19)
+    rec = scene_to_reconstruction(scene, pose_noise=0.02, point_noise=0.05, seed=20)
+    prob, _, _ = build_problem(rec)
+    cfg = BAConfig(robust_loss="huber", robust_scale_px=4.0)
+    O = prob.obs_w.shape[0]
+    assert O % 128 == 0
+
+    interp = _jax.default_backend() != "tpu"
+    C = prob.num_cameras
+    pad = jnp.zeros((C, 2), jnp.float32)
+    pts_t = jnp.concatenate(
+        [jnp.take(prob.points.T, prob.obs_point, axis=1), jnp.zeros((1, O), jnp.float32)], 0)
+    st = core._ne_static_misc(prob)
+    for zf in (None, jnp.asarray(4.0, jnp.float32)):
+        num, den = schur_spmv.fused_cost_sums(
+            prob.obs_cam, pts_t, st,
+            jnp.concatenate([prob.cam_params, pad], 1),
+            jnp.concatenate([prob.intrinsics, pad], 1),
+            C, cfg.robust_loss, cfg.robust_scale_px, z_floor=zf,
+            interpret=interp,
+        )
+        got = float(num) / max(float(den), 1.0)
+        # XLA reference path (kernel gate off via backend check already on
+        # CPU; force explicitly for TPU runs):
+        import os
+        os.environ["SFM_TPU_BA_DISABLE_KERNELS"] = "cost"
+        try:
+            ref = float(core.compute_cost(prob, prob.cam_params, prob.points, cfg,
+                                          z_floor=zf))
+        finally:
+            del os.environ["SFM_TPU_BA_DISABLE_KERNELS"]
+        np.testing.assert_allclose(got, ref, rtol=2e-5, err_msg=f"zf={zf}")
+        if zf is not None:
+            assert float(den) < float(jnp.sum(prob.obs_w))  # the gate bit
+
+
+def test_fused_ne_z_floor_gate_matches_xla_gating():
+    """In-kernel near-plane gating (z_floor threaded into the fused NE
+    kernel) equals the XLA path's explicit weight gating."""
+    import jax as _jax
+    from sfm_tpu.ba import core
+    from sfm_tpu.kernels import schur_spmv
+
+    scene = make_orbit_scene(num_cameras=8, num_points=256, noise_px=0.5, seed=21)
+    rec = scene_to_reconstruction(scene, pose_noise=0.02, point_noise=0.05, seed=22)
+    prob, _, _ = build_problem(rec)
+    cfg = BAConfig(robust_loss="huber", robust_scale_px=4.0)
+    zf = jnp.asarray(4.0, jnp.float32)  # cuts a real subset at orbit radius 4
+
+    interp = _jax.default_backend() != "tpu"
+    orig = schur_spmv.fused_ne_payloads
+    if interp:
+        schur_spmv.fused_ne_payloads = lambda *a, **k: orig(*a, interpret=True, **k)
+    try:
+        Hcc_f, Hpp_f, Wt_f, bc_f, bp_f = core._ne_blocks_fused(
+            prob, prob.cam_params, prob.points, cfg, z_floor=zf)
+    finally:
+        schur_spmv.fused_ne_payloads = orig
+
+    z = core._obs_depths(prob, prob.cam_params, prob.points)
+    w_gated = jnp.where(z > zf, prob.obs_w, 0.0)
+    assert float(w_gated.sum()) < float(prob.obs_w.sum())
+    prob_g = prob._replace(obs_w=w_gated)
+    r, Jc, Jp, _ = core.residuals_and_jacobians(prob_g, prob.cam_params, prob.points, cfg)
+    Jc = jnp.where(prob.cam_fixed[prob.obs_cam][:, None, None], 0.0, Jc)
+    Jp = jnp.where(prob.point_fixed[prob.obs_point][:, None, None], 0.0, Jp)
+    Hcc = jax.ops.segment_sum(jnp.einsum("oai,oaj->oij", Jc, Jc), prob.obs_cam, prob.num_cameras)
+    bc = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), prob.obs_cam, prob.num_cameras)
+
+    def close(a, b, name):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5, err_msg=name)
+
+    close(Hcc_f, Hcc, "Hcc gated")
+    close(bc_f, bc, "bc gated")
+
+
 def test_local_ba_camera_selection_prefers_coobservers():
     """_local_ba_cameras returns the window plus the cameras most
     co-observing its points, capped (keeps local BA O(window) at scale)."""
