@@ -97,9 +97,14 @@ def _paged_take(tab, ids):
     F, Cp = tab.shape
     T = ids.shape[1]
     assert F == 8 and Cp % 128 == 0 and T % 128 == 0
+    # Sublane-replicate the index row via CONCAT, not broadcast: a plain
+    # vector.broadcast of i32 across sublanes fails Mosaic layout inference
+    # ("Invalid input layout", measured on v5e), and an add-zeros workaround
+    # gets canonicalized back into the same broadcast.
+    ids8 = jnp.concatenate([ids] * 8, axis=0)                      # [8, T]
     out_chunks = []
     for j in range(T // 128):
-        idx = jnp.broadcast_to(ids[:, j * 128:(j + 1) * 128], (8, 128))
+        idx = ids8[:, j * 128:(j + 1) * 128]
         lane = jax.lax.bitwise_and(idx, 127)
         page = jax.lax.shift_right_logical(idx, 7)
         acc = jnp.zeros((8, 128), tab.dtype)
@@ -440,14 +445,35 @@ def fused_ne_payloads_big(
     return w_t, yp_t, cam_t
 
 
+def _cost_accumulate(c, w, step, out_ref, acc_ref):
+    """Shared cost-kernel epilogue: lane-group partial sums into the [8,128]
+    accumulator (row 0 = cost, row 1 = weight), emitted on the last step.
+    A per-tile [*, 1] output column would violate the Pallas output-block
+    rule (last dim must be 128-divisible or equal the array's); a single
+    [8, 128] block sidesteps it and keeps 128 partial lanes per row, which
+    also bounds the fp32 accumulation depth to O/128 per lane."""
+    T = c.shape[1]
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cs = sum(c[:, k * 128:(k + 1) * 128] for k in range(T // 128))   # [1,128]
+    ws = sum(w[:, k * 128:(k + 1) * 128] for k in range(T // 128))
+    acc_ref[0:1, :] += cs
+    acc_ref[1:2, :] += ws
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
 def _cost_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
-                 camt_ref, intrt_ref, zf_ref, out_ref):
-    """Per-tile robustified cost + weight partial sums (VERDICT r4 next #4:
-    the XLA compute_cost was [O,8] row-gather bound — 38 ms at O=1M for ~3 ms
-    of math). Cameras/intrinsics arrive via the paged VPU dynamic-gather;
-    the near-plane z-gate folds in (no separate _obs_depths pass). Emits
-    [cost_sum, w_sum] per observation tile; the caller reduces the [8, G]
-    columns."""
+                 camt_ref, intrt_ref, zf_ref, out_ref, acc_ref):
+    """Robustified cost + weight sums (VERDICT r4 next #4: the XLA
+    compute_cost was [O,8] row-gather bound — 38 ms at O=1M for ~3 ms of
+    math). Cameras/intrinsics arrive via the paged VPU dynamic-gather; the
+    near-plane z-gate folds in (no separate _obs_depths pass)."""
     from sfm_tpu.geometry.losses import robust_cost
 
     ids = ids_ref[:]
@@ -457,13 +483,11 @@ def _cost_kernel(robust_loss, robust_scale, ids_ref, pts_ref, static_ref,
     ru, rv, xc2 = _project_rows(cams, intr, pts_ref[:], st)[:3]
     w = jnp.where(xc2 > zf_ref[0, 0], st[2:3], 0.0)
     c = robust_cost(ru * ru + rv * rv, robust_loss, robust_scale) * w
-    out_ref[0, 0] = jnp.sum(c)
-    out_ref[1, 0] = jnp.sum(w)
-    out_ref[2:, 0] = jnp.zeros((6,), jnp.float32)
+    _cost_accumulate(c, w, pl.program_id(0), out_ref, acc_ref)
 
 
 def _cost_kernel_big(robust_loss, robust_scale, pts_ref, static_ref,
-                     cams_ref, intr_ref, zf_ref, out_ref):
+                     cams_ref, intr_ref, zf_ref, out_ref, acc_ref):
     """Large-C cost tile: cameras pre-gathered per observation (XLA), same
     math as _cost_kernel."""
     from sfm_tpu.geometry.losses import robust_cost
@@ -472,9 +496,7 @@ def _cost_kernel_big(robust_loss, robust_scale, pts_ref, static_ref,
     ru, rv, xc2 = _project_rows(cams_ref[:], intr_ref[:], pts_ref[:], st)[:3]
     w = jnp.where(xc2 > zf_ref[0, 0], st[2:3], 0.0)
     c = robust_cost(ru * ru + rv * rv, robust_loss, robust_scale) * w
-    out_ref[0, 0] = jnp.sum(c)
-    out_ref[1, 0] = jnp.sum(w)
-    out_ref[2:, 0] = jnp.zeros((6,), jnp.float32)
+    _cost_accumulate(c, w, pl.program_id(0), out_ref, acc_ref)
 
 
 @partial(jax.jit, static_argnames=("num_cameras", "robust_loss", "robust_scale", "interpret"))
@@ -508,8 +530,9 @@ def fused_cost_sums(
             pl.BlockSpec((8, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 1), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, O // T), jnp.float32),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=interpret,
     )(
         obs_cam.astype(jnp.int32)[None, :], pts_t, static_t,
@@ -547,8 +570,9 @@ def fused_cost_sums_big(
             pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 1), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, O // T), jnp.float32),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=interpret,
     )(pts_t, static_t, cams_t, intr_t,
       jnp.full((1, 1), -jnp.inf, jnp.float32) if z_floor is None
