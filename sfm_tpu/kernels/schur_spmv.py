@@ -353,9 +353,11 @@ def fused_ne_payloads(
     O = obs_cam.shape[0]
     C = num_cameras
     # VMEM budget: the kernel holds ~150 [1,T] scalar rows (each padded to 8
-    # sublanes), the [C,T] one-hot, and the [48,C] accumulator — shrink the
-    # tile as C grows (C=1024 at T=1024 was 17.5MB > 16MB).
-    T = 1024 if C <= 512 else (512 if C <= 1024 else 256)
+    # sublanes), the [C,T] one-hot (scatter only — the gathers are paged
+    # VPU dynamic-gathers now, which freed ~1/3 of the old budget), and the
+    # [48,C] accumulator. T=512 at C=4096: ~8.5MB (one-hot 4MB + scalar
+    # rows 2.4MB + acc/out 1.6MB + tables 0.5MB).
+    T = 1024 if C <= 512 else 512
     T = min(T, O)
     assert O % T == 0, "observation capacity must be a multiple of the tile"
     Cp = -(-C // 128) * 128                  # paged-gather table width

@@ -630,11 +630,87 @@ def _union_reproj_gate(
     return np.where(worst <= gate)[0], worst
 
 
+def conflict_tolerant_track_ids(graph, feats, dedup_px: float = 1.5) -> np.ndarray:
+    """[B, K] component id per keypoint over the verified match graph, with
+    same-position detection ALIASING and no same-image conflict cut.
+
+    The production track builder's dup-tolerant union-find REFUSES unions
+    that would put two keypoints of one image in one track — the right
+    policy for building BA tracks, but it fragments transitive identity:
+    ~36% of detections have a scale-space duplicate within 1-2 px (measured,
+    512-orbit), the matcher alternates between the duplicates across edges,
+    and every alternation is a refused union (global tracks: mean length
+    7.7 vs ~170 images seeing a blob). Here duplicates within dedup_px
+    alias to one canonical node first (grid hash — genuinely distinct
+    sub-blob features at >=2.6 px stay distinct), and components are then
+    plain connected components of the correspondence graph: contamination
+    that conflict-cutting would have caught is instead handled by the
+    union-reprojection gate + consensus splits downstream.
+
+    Min-label propagation with pointer doubling (vectorized numpy): O(E)
+    per round, converges in ~log(diameter) rounds.
+    """
+    xy = np.asarray(feats.xy)
+    B, K = xy.shape[:2]
+
+    # Alias EDGES: keypoints of one image sharing a dedup_px grid cell link
+    # into a star. Two half-cell-offset grids so boundary-straddling
+    # duplicates (a 0.3 px pair can split across adjacent cells of a single
+    # grid) are still caught by the other grid.
+    def _alias_edges(offset):
+        cell = np.floor((xy + offset) / max(dedup_px, 1e-6)).astype(np.int64)
+        key = (np.arange(B, dtype=np.int64)[:, None] << 44) \
+            | ((cell[..., 0] & 0x3FFFFF) << 22) | (cell[..., 1] & 0x3FFFFF)
+        flat = key.reshape(-1)
+        order = np.argsort(flat, kind="stable")
+        srt = flat[order]
+        first = np.r_[True, srt[1:] != srt[:-1]]
+        run_id = np.cumsum(first) - 1
+        run_first = order[np.where(first)[0]]
+        # Star: every member links to its run's first member.
+        return run_first[run_id], order
+
+    edges_a, edges_b = [], []
+    for off in (0.0, dedup_px * 0.5):
+        a, b = _alias_edges(off)
+        edges_a.append(a)
+        edges_b.append(b)
+
+    ok_e = np.where(graph.ok)[0]
+    if len(ok_e):
+        e_idx, m_idx = np.where(graph.inlier[ok_e])
+        edges_a.append(graph.pairs[ok_e][e_idx, 0].astype(np.int64) * K
+                       + graph.idx_i[ok_e][e_idx, m_idx])
+        edges_b.append(graph.pairs[ok_e][e_idx, 1].astype(np.int64) * K
+                       + graph.idx_j[ok_e][e_idx, m_idx])
+    a = np.concatenate(edges_a)
+    b = np.concatenate(edges_b)
+    parent = np.arange(B * K, dtype=np.int64)
+    for _ in range(64):
+        pa, pb = parent[a], parent[b]
+        lo = np.minimum(pa, pb)
+        changed = False
+        for hi, lo_ in ((pa, lo), (pb, lo)):
+            upd = lo_ < parent[hi]
+            if upd.any():
+                np.minimum.at(parent, hi[upd], lo_[upd])
+                changed = True
+        # Pointer doubling until the tree flattens.
+        for _ in range(4):
+            gp = parent[parent]
+            if (gp == parent).all():
+                break
+            parent = gp
+        if not changed:
+            break
+    return parent.reshape(B, K)
+
+
 def merge_tracks_by_track_id(
     rec: Reconstruction, graph, num_images: int, max_kp: int,
     rel_factor: float = 3.0, floor_px: float = 2.0, max_px: float = 8.0,
     gate_obs_cap: int = 64, verbose: bool = False, tracks=None,
-    exclude: set | None = None,
+    exclude: set | None = None, gid_map: np.ndarray | None = None,
 ) -> int:
     """Consolidate cross-cluster duplicate points by TRANSITIVE match-graph
     identity (full-graph union-find track ids), the missing closure of
@@ -654,50 +730,64 @@ def merge_tracks_by_track_id(
     because the dup-tolerant union-find CUTS same-image keypoint conflicts,
     giving distinct sub-blob detections distinct global ids).
 
-    `tracks` (a TrackSet) can be passed to reuse one full-graph union-find
-    across refine rounds. Mutates rec; returns absorbed-point count.
+    `gid_map` ([B, K] per-keypoint component ids, e.g. from
+    conflict_tolerant_track_ids) takes precedence; otherwise `tracks` (a
+    TrackSet) or a fresh build_tracks supplies the identity. Either can be
+    passed in to reuse one union-find across refine rounds. Mutates rec;
+    returns absorbed-point count.
     """
-    from sfm_tpu.scene.tracks import build_tracks
-
-    if tracks is None:
-        tracks = build_tracks(graph, num_images, max_kp)
-    if tracks.num_tracks == 0:
-        return 0
-
-    # (image, kp) -> global track id lookup.
-    kb = (tracks.obs_image.astype(np.int64) << 32) | tracks.obs_kp.astype(np.int64)
-    order = np.argsort(kb, kind="stable")
-    kb_s, gid_s = kb[order], tracks.track_id[order]
-
     pv = rec.point_valid
     val_rows = np.where(pv[rec.obs_point])[0]
-    if len(val_rows) == 0 or len(kb_s) == 0:
+    if len(val_rows) == 0:
         return 0
-    ko = (rec.obs_image[val_rows].astype(np.int64) << 32) | rec.obs_kp[val_rows].astype(np.int64)
-    pos = np.minimum(np.searchsorted(kb_s, ko), len(kb_s) - 1)
-    hit = kb_s[pos] == ko
-    gids = np.where(hit, gid_s[pos], -1)
+    if gid_map is not None:
+        gids = gid_map[rec.obs_image[val_rows], rec.obs_kp[val_rows]].astype(np.int64)
+        T = int(gid_map.max())
+    else:
+        from sfm_tpu.scene.tracks import build_tracks
+
+        if tracks is None:
+            tracks = build_tracks(graph, num_images, max_kp)
+        if tracks.num_tracks == 0:
+            return 0
+        # (image, kp) -> global track id lookup.
+        kb = (tracks.obs_image.astype(np.int64) << 32) | tracks.obs_kp.astype(np.int64)
+        order = np.argsort(kb, kind="stable")
+        kb_s, gid_s = kb[order], tracks.track_id[order]
+        if len(kb_s) == 0:
+            return 0
+        ko = (rec.obs_image[val_rows].astype(np.int64) << 32) | rec.obs_kp[val_rows].astype(np.int64)
+        pos = np.minimum(np.searchsorted(kb_s, ko), len(kb_s) - 1)
+        hit = kb_s[pos] == ko
+        gids = np.where(hit, gid_s[pos], -1)
+        T = int(tracks.num_tracks)
     pids = rec.obs_point[val_rows].astype(np.int64)
 
     m = gids >= 0
     if not m.any():
         return 0
-    T = int(tracks.num_tracks)
     pg = pids[m] * (T + 1) + gids[m]
     key, cnt = np.unique(pg, return_counts=True)
+    # ANY shared id links two points, not just majority-vs-majority: a
+    # fragmented point's observations spread over several components, and
+    # requiring the TOP component to coincide dropped ~60% of the genuine
+    # links (512 study: 721 majority pairs vs 1720 any-shared). Stray
+    # single-observation links are the union gate's job to reject (and
+    # measured identical pools at >=1 vs >=2 obs: 1720 vs 1706).
+    del cnt
     k_pid, k_gid = key // (T + 1), key % (T + 1)
-    # Majority gid per point: sort by (pid, count), keep the last per pid.
-    o = np.lexsort((cnt, k_pid))
-    pid_o, gid_o = k_pid[o], k_gid[o]
-    last = np.r_[pid_o[1:] != pid_o[:-1], True]
-    maj_pid, maj_gid = pid_o[last], gid_o[last]
+    if len(k_pid) == 0:
+        return 0
 
-    # Group points by majority gid; fuse each group into its best-observed
-    # member (star topology: every accepted pair shares the group root, so
-    # one call cannot chain-collapse through unchecked transitive unions).
+    # Group (point, gid) rows by gid; fuse each group into its
+    # best-observed member (star topology per gid: every accepted pair
+    # shares the group root, so one call cannot chain-collapse through
+    # unchecked transitive unions; a point shared across gids can bridge
+    # two stars — the union gate checked both pairs, and consensus splits
+    # repair the rare bad bridge).
     counts_obs = np.bincount(rec.obs_point[val_rows], minlength=len(rec.points))
-    og = np.lexsort((counts_obs[maj_pid], maj_gid))
-    g_srt, p_srt = maj_gid[og], maj_pid[og]
+    og = np.lexsort((counts_obs[k_pid], k_gid))
+    g_srt, p_srt = k_gid[og], k_pid[og]
     new_grp = np.r_[True, g_srt[1:] != g_srt[:-1]]
     grp_id = np.cumsum(new_grp) - 1
     # Root = last member of each group in (gid, obs-count) order.
@@ -709,6 +799,14 @@ def merge_tracks_by_track_id(
         return 0
     pb = p_srt[member]
     pa = roots[grp_id[member]]
+    keep = pa != pb
+    pa, pb = pa[keep], pb[keep]
+    if len(pa) == 0:
+        return 0
+    # One gate evaluation per distinct pair (the same pair can arrive via
+    # several shared components).
+    pk = np.unique((np.minimum(pa, pb) << 32) | np.maximum(pa, pb))
+    pa, pb = pk >> 32, pk & 0xFFFFFFFF
     if exclude:
         # (parent, fragment) pairs a consensus split created: the fragment
         # inherits the parent's global id, so id identity alone must not

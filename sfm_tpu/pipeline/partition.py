@@ -414,12 +414,11 @@ def _polish_phase(
         # Full-graph union-find built once and reused across refine rounds
         # (the transitive-identity evidence is geometry-independent; only
         # the gate's acceptance changes as the model straightens).
-        id_tracks = None
+        id_gids = None
         no_refuse: set = set()
         if cfg.partition.id_merge:
-            from sfm_tpu.scene.tracks import build_tracks
-            id_tracks = build_tracks(graph, len(merged.registered),
-                                     feats.xy.shape[1])
+            from sfm_tpu.pipeline.merge import conflict_tolerant_track_ids
+            id_gids = conflict_tolerant_track_ids(graph, feats)
 
         for _ in range(cfg.partition.refine_rounds):
             # Split contaminated tracks first (observations breaking
@@ -448,7 +447,7 @@ def _polish_phase(
                         merged, cfg=cfg,
                         only_points=np.arange(P0, len(merged.points)))
                 n_fused += n_split
-            if id_tracks is not None:
+            if id_gids is not None:
                 # Transitive identity first: it carries the long-range
                 # fusions (cross-cluster copies linked through keypoints no
                 # cluster retained) that votes and proximity cannot see.
@@ -457,7 +456,7 @@ def _polish_phase(
                     rel_factor=cfg.partition.id_merge_rel_factor,
                     floor_px=cfg.partition.id_merge_floor_px,
                     max_px=cfg.partition.id_merge_max_px,
-                    verbose=cfg.verbose, tracks=id_tracks, exclude=no_refuse,
+                    verbose=cfg.verbose, gid_map=id_gids, exclude=no_refuse,
                 )
             if cfg.partition.merge_tracks_min_votes > 0:
                 n_fused += merge_tracks_by_correspondence(

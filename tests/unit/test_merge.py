@@ -224,6 +224,54 @@ def test_merge_tracks_by_track_id_transitive():
     assert rec.mean_reprojection_error() < 1.0
 
 
+def test_conflict_tolerant_track_ids_chains_through_duplicates():
+    """The conflict-tolerant union-find must chain identity ACROSS
+    same-position duplicate detections (the production dup-tolerant builder
+    refuses those unions — measured mean global track length 7.7 vs ~170
+    images seeing a blob), and the gid_map path of the id merge must fuse
+    on it."""
+    from types import SimpleNamespace
+    from sfm_tpu.pipeline.merge import (
+        conflict_tolerant_track_ids, merge_tracks_by_track_id,
+    )
+
+    scene = make_orbit_scene(num_cameras=8, num_points=40, noise_px=0.0, seed=46)
+    rec = scene_to_reconstruction(scene)
+    M = scene.num_points
+    vis_all = np.where(scene.visible.all(0))[0]
+    p = int(vis_all[0])
+    obs_point = rec.obs_point.copy()
+    obs_point[(rec.obs_point == p) & (rec.obs_image >= 4)] = M
+    rec.obs_point = obs_point
+    rec.points = np.concatenate(
+        [rec.points, scene.points[p][None] + 0.01]).astype(np.float32)
+    rec.point_valid = np.concatenate([rec.point_valid, np.ones(1, bool)])
+    rec.point_errors = np.zeros(len(rec.points), np.float32)
+
+    # Image 2 has TWO detections of the feature: kp p and a duplicate kp 900
+    # 0.5 px away. The chain (1,p)~(2,p) and (2,900)~(5,p) only connects
+    # through the duplicate aliasing — a conflict-cutting union-find splits
+    # exactly here.
+    K = 1024
+    xy = np.zeros((scene.num_cameras, K, 2), np.float32)
+    rng = np.random.default_rng(0)
+    xy[:] = rng.uniform(0, 500, (scene.num_cameras, K, 2))
+    xy[2, 900] = xy[2, p] + 0.5
+    feats = SimpleNamespace(xy=xy)
+    graph = _mock_graph([
+        (1, 2, [(p, p)]),
+        (2, 5, [(900, p)]),
+    ], W=1024)
+
+    gm = conflict_tolerant_track_ids(graph, feats)
+    assert gm.shape == (scene.num_cameras, K)
+    assert gm[1, p] == gm[5, p] == gm[2, p] == gm[2, 900]
+
+    n = merge_tracks_by_track_id(rec, graph, scene.num_cameras, K, gid_map=gm)
+    assert n == 1
+    assert not (rec.point_valid[p] and rec.point_valid[M])
+
+
 def test_merge_tracks_by_track_id_respects_exclusions():
     """(parent, fragment) pairs from a consensus split must not re-fuse."""
     from sfm_tpu.pipeline.merge import merge_tracks_by_track_id
