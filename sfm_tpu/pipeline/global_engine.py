@@ -137,16 +137,31 @@ def global_reconstruct(
     # changes nothing (the zero-change re-solve churn measurably erodes a
     # polished model: RMSE 1.17 -> 3.74 on the 512-orbit diag).
     from sfm_tpu.pipeline.merge import (
-        merge_tracks_by_correspondence, merge_tracks_by_proximity,
+        conflict_tolerant_track_ids, merge_tracks_by_correspondence,
+        merge_tracks_by_proximity, merge_tracks_by_track_id,
         split_tracks_by_consensus,
     )
+
+    # Transitive-identity map for the id merge (see partition._polish_phase):
+    # build_tracks' same-image conflict cuts leave every physical feature as
+    # several parallel tracks (scale-space duplicate detections alternate
+    # across edges), i.e. several points of THIS reconstruction.
+    id_gids = conflict_tolerant_track_ids(graph, feats) \
+        if cfg.partition.id_merge else None
+    no_refuse: set = set()
 
     for rnd in range(cfg.engine.global_refine_rounds):
         n_changed = 0
         if cfg.engine.split_tracks_px > 0:
             P0 = len(rec.points)
+            split_log: list = []
             n_split = split_tracks_by_consensus(
-                rec, max_px=cfg.engine.split_tracks_px, verbose=cfg.verbose)
+                rec, max_px=cfg.engine.split_tracks_px, verbose=cfg.verbose,
+                split_log=split_log)
+            for par, frag in split_log:
+                lo = np.minimum(par, frag).astype(np.int64)
+                hi = np.maximum(par, frag).astype(np.int64)
+                no_refuse.update(((lo << 32) | hi).tolist())
             if n_split:
                 # Place the detached fragments before any merge looks at
                 # their 3D positions (they inherit the contaminated
@@ -154,6 +169,13 @@ def global_reconstruct(
                 retriangulate_reconstruction(
                     rec, cfg=cfg, only_points=np.arange(P0, len(rec.points)))
             n_changed += n_split
+        if id_gids is not None:
+            n_changed += merge_tracks_by_track_id(
+                rec, graph, B, max_kp,
+                rel_factor=cfg.partition.id_merge_rel_factor,
+                floor_px=cfg.partition.id_merge_floor_px,
+                max_px=cfg.partition.id_merge_max_px,
+                verbose=cfg.verbose, gid_map=id_gids, exclude=no_refuse)
         n_changed += merge_tracks_by_correspondence(
             rec, graph, min_votes=2,
             dist_frac=0.15 if rnd == 0 else 0.05, verbose=cfg.verbose)
