@@ -245,11 +245,16 @@ class PartitionConfig:
                                         # fragmentation that direct correspondence
                                         # votes cannot (single-digit voted pairs vs
                                         # ~15x-short tracks at 512, r5 study).
-    id_merge_rel_factor: float = 3.0    # union-reprojection gate for id merges:
-    id_merge_floor_px: float = 2.0      # generous relative to the proximity gate
-    id_merge_max_px: float = 8.0        # — 2D identity evidence is strong, and
-                                        # sub-blob features hold distinct ids by
-                                        # the union-find's same-image conflict cut.
+    id_merge_rel_factor: float = 4.0    # union-reprojection gate for id merges:
+    id_merge_floor_px: float = 3.0      # generous relative to the proximity gate
+    id_merge_max_px: float = 16.0       # — 2D identity evidence is strong; the
+                                        # gate still rejects contaminated links
+                                        # (512 study: 623/714 id pairs fail even
+                                        # at 16px — those glue distinct blobs).
+    id_merge_anneal: float = 0.75       # per-refine-round cap decay (graduated
+    id_merge_min_px: float = 6.0        # non-convexity: permissive while bent,
+                                        # tight once straightened; floor at the
+                                        # proximity gate's cap).
 
 
 @dataclass(frozen=True)

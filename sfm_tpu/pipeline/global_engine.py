@@ -149,6 +149,7 @@ def global_reconstruct(
     id_gids = conflict_tolerant_track_ids(graph, feats) \
         if cfg.partition.id_merge else None
     no_refuse: set = set()
+    id_cap = cfg.partition.id_merge_max_px
 
     for rnd in range(cfg.engine.global_refine_rounds):
         n_changed = 0
@@ -174,8 +175,10 @@ def global_reconstruct(
                 rec, graph, B, max_kp,
                 rel_factor=cfg.partition.id_merge_rel_factor,
                 floor_px=cfg.partition.id_merge_floor_px,
-                max_px=cfg.partition.id_merge_max_px,
+                max_px=id_cap,
                 verbose=cfg.verbose, gid_map=id_gids, exclude=no_refuse)
+            id_cap = max(id_cap * cfg.partition.id_merge_anneal,
+                         cfg.partition.id_merge_min_px)
         n_changed += merge_tracks_by_correspondence(
             rec, graph, min_votes=2,
             dist_frac=0.15 if rnd == 0 else 0.05, verbose=cfg.verbose)

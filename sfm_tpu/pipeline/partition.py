@@ -420,6 +420,7 @@ def _polish_phase(
             from sfm_tpu.pipeline.merge import conflict_tolerant_track_ids
             id_gids = conflict_tolerant_track_ids(graph, feats)
 
+        id_cap = cfg.partition.id_merge_max_px
         for _ in range(cfg.partition.refine_rounds):
             # Split contaminated tracks first (observations breaking
             # geometric consensus detach into new candidate points — the
@@ -455,9 +456,11 @@ def _polish_phase(
                     merged, graph, len(merged.registered), feats.xy.shape[1],
                     rel_factor=cfg.partition.id_merge_rel_factor,
                     floor_px=cfg.partition.id_merge_floor_px,
-                    max_px=cfg.partition.id_merge_max_px,
+                    max_px=id_cap,
                     verbose=cfg.verbose, gid_map=id_gids, exclude=no_refuse,
                 )
+                id_cap = max(id_cap * cfg.partition.id_merge_anneal,
+                             cfg.partition.id_merge_min_px)
             if cfg.partition.merge_tracks_min_votes > 0:
                 n_fused += merge_tracks_by_correspondence(
                     merged, graph, min_votes=cfg.partition.merge_tracks_min_votes,
