@@ -16,6 +16,20 @@ FOCAL, CX = 400.0, 256.0
 INTR = np.array([FOCAL, FOCAL, CX, CX, 0.0, 0.0], np.float32)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache_writes():
+    """The verify program compiled by this module aborts the process inside
+    jaxlib's executable.serialize() during the persistent-cache WRITE — but
+    only in full-suite order (observed twice: SIGSEGV then SIGABRT at
+    compilation_cache.put_executable_and_time line 265; the file alone is
+    green). Infra-level jaxlib bug; suppress cache writes for this module
+    by raising the min-compile-time threshold."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 def _pose(rng, rot=0.08, trans=0.6):
     rv = rng.normal(0, rot, 3).astype(np.float32)
     R = np.asarray(so3_exp(jnp.asarray(rv)))
