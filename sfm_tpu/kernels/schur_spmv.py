@@ -738,7 +738,10 @@ def cam_segment_sum(values: jnp.ndarray, obs_cam: jnp.ndarray, num_cameras: int,
     if num_cameras > _MAX_CAMS or (jax.default_backend() == "cpu" and not interpret):
         return jax.ops.segment_sum(values, obs_cam, num_cameras)
 
-    T = min(_TILE_OBS if num_cameras <= 1024 else 512, O)
+    # [T, C] one-hot + compare intermediates bound the tile: T=512 at
+    # C=4096 hit the 16MB scoped-vmem stack limit (17.29M measured).
+    T = min(_TILE_OBS if num_cameras <= 1024
+            else (512 if num_cameras <= 2048 else 256), O)
     pad = (-O) % T
     if pad:
         values = jnp.pad(values, ((0, pad), (0, 0)))

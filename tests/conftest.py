@@ -39,3 +39,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # silent NaN propagation. CI unit runs can flip this on.
 if os.environ.get("SFM_TPU_DEBUG_NANS"):
     jax.config.update("jax_debug_nans", True)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run unit tests BEFORE distributed/integration in one-process suites.
+
+    XLA:CPU compiles segfault/abort non-deterministically when a fresh
+    program is compiled AFTER the 8-device mesh suites have run in the same
+    process (observed 3x in full-suite order at test_planar_uncalibrated —
+    SIGSEGV/SIGABRT inside backend_compile or executable.serialize; every
+    per-directory invocation is green, and the same module passes when run
+    before the mesh tests). Known infra-level flake (NOTES round-3/-5);
+    ordering unit first sidesteps the trigger without splitting the suite
+    into separate processes.
+    """
+    rank = {"unit": 0, "oracle": 1, "integration": 2, "distributed": 3}
+
+    def key(item):
+        p = str(item.fspath)
+        for name, r in rank.items():
+            if f"/tests/{name}/" in p:
+                return r
+        return 4
+
+    items.sort(key=key)
