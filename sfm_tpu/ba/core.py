@@ -573,21 +573,25 @@ def _solve_invariants(prob: BAProblem, cam_params, cfg: BAConfig, axis_name) -> 
         lids = (op - op[:, :1]).reshape(O)
     cam_perm = cam_bounds = None
     mv_big_tile = 0
-    # Large-C regime = no in-kernel coupling matvec available. NOTE: this is
-    # keyed on mv_tile, not _MAX_CAMS — the NE/WHW kernels now reach C=4096
-    # while the coupling matvec caps at 2048 (its fori_loop composition
-    # crashes the TPU compiler past that), so C in (2048, 4096] needs the
-    # camera-sorted big path for the matvec even though NE stays in-kernel.
-    if axis_name is None and not mv_tile:
-        # Large-C regime: camera reductions run over a camera-sorted view
-        # (one argsort per solve, O(log O) on device) instead of the one-hot
+    # Camera-sorted reduction views are needed by (a) every path when no
+    # in-kernel coupling matvec is available (mv_tile == 0), and (b) the
+    # large-C NE/WHW big kernels (C > _MAX_CAMS) REGARDLESS of the matvec:
+    # since the two-level matvec extended in-kernel coverage to
+    # _MV_MAX_CAMS = 16384 > _MAX_CAMS = 4096, a point-aligned solve at
+    # C in (4096, 16384] has mv_tile > 0 but still reduces Hcc/WHW through
+    # _cam_reduce_sorted (r5 regression caught by matvec_parity's solve
+    # proof: cam_bounds=None subscript crash — the combination was
+    # invisible to the big-C tests, which use point_align=0).
+    if axis_name is None and (not mv_tile or prob.num_cameras > schur_spmv._MAX_CAMS):
+        # One argsort per solve, O(log O) on device — replaces the one-hot
         # kernels (VMEM-capped) or the XLA scatter (serializes).
         cam_perm = jnp.argsort(prob.obs_cam, stable=True)
         sorted_cams = prob.obs_cam[cam_perm]
         cam_bounds = jnp.searchsorted(
             sorted_cams, jnp.arange(prob.num_cameras + 1, dtype=prob.obs_cam.dtype)
         )
-        if (cam_params.shape[-1] == CAM_DIM
+        if (not mv_tile
+                and cam_params.shape[-1] == CAM_DIM
                 and jax.default_backend() == "tpu"
                 and "mv_big" not in _kernels_disabled()):
             T = schur_spmv.matvec_tile_big(prob.point_align)

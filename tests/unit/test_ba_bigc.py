@@ -245,6 +245,42 @@ def test_two_level_coupling_matvec_matches_xla_midc():
     _close(got, ref, "two-level coupling matvec", atol=1e-4)
 
 
+def test_solve_invariants_keep_cam_perm_past_max_cams_with_mv_kernel():
+    """C in (_MAX_CAMS, _MV_MAX_CAMS] with point-aligned observations takes
+    the in-kernel coupling matvec (mv_tile > 0) AND the big NE path — which
+    reduces Hcc/WHW through _cam_reduce_sorted. The invariants must build
+    cam_perm/cam_bounds in that combination (r5 regression: keyed on
+    mv_tile alone, the 10k-polish-scale solve crashed on cam_bounds=None;
+    the C>4096 tests all used point_align=0 so mv_tile was 0)."""
+    from unittest import mock
+
+    C, O, P = 4608, 4096, 512
+    assert C > schur_spmv._MAX_CAMS and C <= schur_spmv._MV_MAX_CAMS
+    rng = np.random.default_rng(13)
+    obs_point = np.repeat(np.arange(P, dtype=np.int32), O // P)
+    pts = rng.normal(size=(P, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    prob = BAProblem(
+        cam_params=jnp.asarray(rng.normal(0, 0.05, (C, 6)).astype(np.float32)),
+        intrinsics=jnp.tile(jnp.asarray([400, 400, 256, 256, 0, 0], jnp.float32), (C, 1)),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(rng.integers(0, C, O).astype(np.int32)),
+        obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(rng.normal(size=(O, 2)).astype(np.float32) * 100 + 256),
+        obs_w=jnp.ones(O, jnp.float32),
+        cam_fixed=jnp.zeros(C, bool).at[0].set(True),
+        point_fixed=jnp.zeros(P, bool),
+        point_align=256,
+    )
+    cfg = BAConfig()
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        inv = core._solve_invariants(prob, prob.cam_params, cfg, None)
+    assert inv.mv_tile > 0                        # in-kernel matvec active
+    assert inv.cam_perm is not None               # ...and sorted views kept
+    assert inv.cam_bounds is not None
+    assert inv.mv_big_tile == 0
+
+
 def test_midc_in_kernel_range_extends_past_2048():
     """C in (2048, 4096] runs fully in-kernel (bf16-split one-hot NE/WHW +
     the two-level coupling matvec); solve parity vs the kernel-free path."""
