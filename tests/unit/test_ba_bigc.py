@@ -245,6 +245,37 @@ def test_two_level_coupling_matvec_matches_xla_midc():
     _close(got, ref, "two-level coupling matvec", atol=1e-4)
 
 
+def test_fused_cost_sums_big_matches_xla():
+    """Large-C fused cost kernel (pre-gathered cameras) parity vs the XLA
+    path, with and without the in-kernel z-floor gate."""
+    import os
+
+    from sfm_tpu.ba.core import _ne_static_misc, compute_cost
+
+    prob = make_big_problem(C=4224, O=8192, P=512, seed=21)
+    from sfm_tpu.config import BAConfig as _BA
+    cfg = _BA(robust_loss="huber", robust_scale_px=4.0)
+    O = prob.obs_w.shape[0]
+    pad = jnp.zeros((prob.num_cameras, 2), jnp.float32)
+    pts_t = jnp.concatenate(
+        [jnp.take(prob.points.T, prob.obs_point, axis=1), jnp.zeros((1, O), jnp.float32)], 0)
+    cams_t = jnp.concatenate([prob.cam_params, pad], 1).T[:, prob.obs_cam]
+    intr_t = jnp.concatenate([prob.intrinsics, pad], 1).T[:, prob.obs_cam]
+    st = _ne_static_misc(prob)
+    for zf in (None, jnp.asarray(5.0, jnp.float32)):
+        num, den = schur_spmv.fused_cost_sums_big(
+            pts_t, st, cams_t, intr_t, cfg.robust_loss, cfg.robust_scale_px,
+            z_floor=zf, interpret=INTERP)
+        got = float(num) / max(float(den), 1.0)
+        os.environ["SFM_TPU_BA_DISABLE_KERNELS"] = "cost"
+        try:
+            ref = float(compute_cost(prob, prob.cam_params, prob.points, cfg,
+                                     z_floor=zf))
+        finally:
+            del os.environ["SFM_TPU_BA_DISABLE_KERNELS"]
+        np.testing.assert_allclose(got, ref, rtol=2e-5, err_msg=f"zf={zf}")
+
+
 def test_solve_invariants_keep_cam_perm_past_max_cams_with_mv_kernel():
     """C in (_MAX_CAMS, _MV_MAX_CAMS] with point-aligned observations takes
     the in-kernel coupling matvec (mv_tile > 0) AND the big NE path — which
